@@ -1,0 +1,81 @@
+"""Video/flow I/O round-trip tests."""
+
+import numpy as np
+
+from tests.fixtures import moving_square_frames
+from video_analytics_tpu.io import (
+    VideoReader, write_frames, read_frames_dir,
+    write_flo, read_flo, quantize_flow, dequantize_flow)
+from video_analytics_tpu.io.video import synthesize_video
+
+
+def test_video_roundtrip(tmp_path):
+    frames = moving_square_frames(num=8, h=64, w=80)
+    path = str(tmp_path / "clip.mp4")
+    synthesize_video(path, frames, fps=8.0)
+    with VideoReader(path) as r:
+        decoded = r.read_all()
+    assert decoded.shape == (8, 64, 80, 3)
+    # Lossy codec: mean abs error should still be small.
+    err = np.abs(decoded.astype(np.float32) -
+                 np.stack(frames).astype(np.float32)).mean()
+    assert err < 8.0, err
+
+
+def test_frames_dir_roundtrip(tmp_path):
+    frames = moving_square_frames(num=5, h=48, w=64)
+    d = str(tmp_path / "frames")
+    paths = write_frames(frames, d, quality=98)
+    assert len(paths) == 5
+    loaded = read_frames_dir(d)
+    assert loaded.shape == (5, 48, 64, 3)
+    err = np.abs(loaded.astype(np.float32) -
+                 np.stack(frames).astype(np.float32)).mean()
+    assert err < 8.0, err
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    flow = rng.normal(0, 5, (33, 47, 2)).astype(np.float32)
+    p = str(tmp_path / "f.flo")
+    write_flo(p, flow)
+    back = read_flo(p)
+    np.testing.assert_array_equal(flow, back)
+
+
+def test_flow_quantization():
+    rng = np.random.default_rng(2)
+    flow = rng.normal(0, 8, (17, 19, 2)).astype(np.float32)
+    q = quantize_flow(flow, bound=20.0)
+    assert q.dtype == np.uint8
+    deq = dequantize_flow(q, bound=20.0)
+    inside = np.abs(flow) <= 20.0
+    assert np.abs((deq - flow)[inside]).max() <= 20.0 / 255.0 + 1e-5
+
+
+def test_ucf101_lists(tmp_path):
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    (ann / "classInd.txt").write_text("1 ApplyEyeMakeup\n2 Basketball\n")
+    (ann / "trainlist01.txt").write_text(
+        "ApplyEyeMakeup/v_A_g01_c01.avi 1\nBasketball/v_B_g01_c01.avi 2\n")
+    (ann / "testlist01.txt").write_text("Basketball/v_B_g02_c02.avi\n")
+    from video_analytics_tpu.io.dataset import UCF101
+    ds = UCF101(videos_root=str(tmp_path / "videos"),
+                annotations_root=str(ann), split=1)
+    tr = ds.train_records()
+    te = ds.test_records()
+    assert [r.label for r in tr] == [0, 1]
+    assert te[0].label == 1 and te[0].class_name == "Basketball"
+    assert ds.classes == ["ApplyEyeMakeup", "Basketball"]
+
+
+def test_progress_manifest(tmp_path):
+    from video_analytics_tpu.io.dataset import ProgressManifest
+    p = str(tmp_path / "m.txt")
+    m = ProgressManifest(p)
+    assert not m.is_done("a")
+    m.mark_done("a")
+    m.mark_done("b")
+    m2 = ProgressManifest(p)
+    assert m2.is_done("a") and m2.is_done("b") and len(m2) == 2

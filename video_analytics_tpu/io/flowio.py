@@ -1,0 +1,51 @@
+"""Flow-field persistence: Middlebury .flo files and the two-stream
+uint8 quantization convention (clip to ±bound, rescale to [0, 255])."""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Tuple
+
+import numpy as np
+
+_FLO_MAGIC = 202021.25  # Middlebury sanity-check constant
+
+
+def write_flo(path: str, flow: np.ndarray) -> None:
+    """Write an (H, W, 2) float32 flow field as a Middlebury .flo file."""
+    flow = np.asarray(flow, np.float32)
+    if flow.ndim != 3 or flow.shape[-1] != 2:
+        raise ValueError(f"flow must be (H, W, 2), got {flow.shape}")
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<f", _FLO_MAGIC))
+        f.write(struct.pack("<ii", w, h))
+        f.write(flow.tobytes())
+
+
+def read_flo(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic = struct.unpack("<f", f.read(4))[0]
+        if abs(magic - _FLO_MAGIC) > 1e-3:
+            raise IOError(f"{path}: bad .flo magic {magic}")
+        w, h = struct.unpack("<ii", f.read(8))
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2).copy()
+
+
+def quantize_flow(flow: np.ndarray, bound: float = 20.0) -> np.ndarray:
+    """(…, 2) float flow → uint8 via the standard two-stream convention:
+    clip to [-bound, bound] then linearly map to [0, 255]."""
+    f = np.clip(np.asarray(flow, np.float32), -bound, bound)
+    return np.round((f + bound) * (255.0 / (2.0 * bound))).astype(np.uint8)
+
+
+def dequantize_flow(q: np.ndarray, bound: float = 20.0) -> np.ndarray:
+    return q.astype(np.float32) * (2.0 * bound / 255.0) - bound
+
+
+def flow_pair_paths(out_dir: str, index: int) -> Tuple[str, str]:
+    """Storage convention for quantized flow: flow_x/flow_y JPEG pairs."""
+    return (os.path.join(out_dir, f"flow_x_{index:06d}.jpg"),
+            os.path.join(out_dir, f"flow_y_{index:06d}.jpg"))

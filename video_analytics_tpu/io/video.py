@@ -1,0 +1,144 @@
+"""Host-side video I/O: container demux + frame decode.
+
+This is deliberately the ONLY host-CPU hot path in the framework
+(BASELINE.json north star: "the host only does container demux and frame
+decode").  Everything downstream — preprocessing, flow, CNN — runs on
+TPU.  Decoding uses OpenCV's VideoCapture (ffmpeg under the hood).
+
+Frames-on-disk convention (matches the reference scripts' layout):
+``<out_dir>/frame_%06d.jpg``, 1-indexed, BGR written via cv2 so that
+round-tripping through ``extract-frames`` is bit-faithful to a plain
+OpenCV pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+FRAME_PATTERN = "frame_{:06d}.jpg"
+_FRAME_RE = re.compile(r"frame_(\d{6})\.(jpg|jpeg|png)$")
+
+
+class VideoReader:
+    """Thin iterator over decoded RGB frames of one container."""
+
+    def __init__(self, path: str):
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self.path = path
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"could not open video: {path}")
+
+    @property
+    def fps(self) -> float:
+        return float(self._cap.get(cv2.CAP_PROP_FPS))
+
+    @property
+    def frame_count(self) -> int:
+        # May be approximate for some containers; 0 when unknown.
+        return int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    @property
+    def size(self) -> Tuple[int, int]:
+        """(height, width)."""
+        return (int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)))
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            ok, frame_bgr = self._cap.read()
+            if not ok:
+                break
+            yield cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+
+    def read_all(self, max_frames: Optional[int] = None) -> np.ndarray:
+        """Decode the whole clip → (T, H, W, 3) uint8 RGB."""
+        frames: List[np.ndarray] = []
+        for i, f in enumerate(self):
+            if max_frames is not None and i >= max_frames:
+                break
+            frames.append(f)
+        if not frames:
+            raise IOError(f"no frames decoded from {self.path}")
+        return np.stack(frames)
+
+    def close(self):
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_video(path: str) -> VideoReader:
+    return VideoReader(path)
+
+
+def iter_frames(path: str, max_frames: Optional[int] = None
+                ) -> Iterator[np.ndarray]:
+    with VideoReader(path) as r:
+        for i, f in enumerate(r):
+            if max_frames is not None and i >= max_frames:
+                return
+            yield f
+
+
+def write_frames(frames: Sequence[np.ndarray], out_dir: str,
+                 quality: int = 95) -> List[str]:
+    """Write RGB frames as JPEGs using the reference's dir convention."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, frame in enumerate(frames):
+        p = os.path.join(out_dir, FRAME_PATTERN.format(i + 1))
+        cv2.imwrite(p, cv2.cvtColor(np.asarray(frame), cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, quality])
+        paths.append(p)
+    return paths
+
+
+def list_frames_dir(frames_dir: str) -> List[str]:
+    entries = []
+    for name in os.listdir(frames_dir):
+        m = _FRAME_RE.search(name)
+        if m:
+            entries.append((int(m.group(1)), os.path.join(frames_dir, name)))
+    entries.sort()
+    return [p for _, p in entries]
+
+
+def read_frames_dir(frames_dir: str,
+                    max_frames: Optional[int] = None) -> np.ndarray:
+    """Load a frames directory → (T, H, W, 3) uint8 RGB."""
+    paths = list_frames_dir(frames_dir)
+    if max_frames is not None:
+        paths = paths[:max_frames]
+    if not paths:
+        raise IOError(f"no frames found in {frames_dir}")
+    frames = []
+    for p in paths:
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"unreadable frame {p}")
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    return np.stack(frames)
+
+
+def synthesize_video(path: str, frames: Sequence[np.ndarray],
+                     fps: float = 25.0) -> str:
+    """Encode RGB frames to an mp4 (test fixtures / demos)."""
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        raise IOError(f"could not open VideoWriter for {path}")
+    for f in frames:
+        vw.write(cv2.cvtColor(np.asarray(f, np.uint8), cv2.COLOR_RGB2BGR))
+    vw.release()
+    return path

@@ -1,0 +1,35 @@
+"""Platform helpers: TPU detection and Pallas interpret-mode fallback.
+
+The test suite runs on CPU (optionally with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` for fake-device
+mesh tests); Pallas TPU kernels then run in interpret mode so the whole
+framework is exercisable without a TPU (SURVEY.md §4.2's "fake
+backend").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. tunneled axon)."""
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:
+        return False
+    return dev.platform == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """Whether pallas_call should run in interpret mode (non-TPU hosts)."""
+    return not on_tpu()
+
+
+def default_compute_dtype():
+    """bfloat16 on TPU (MXU-native), float32 elsewhere (test precision)."""
+    return jnp.bfloat16 if on_tpu() else jnp.float32
