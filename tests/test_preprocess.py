@@ -1,0 +1,109 @@
+"""Parity tests: fused jit preprocessing vs the cv2/numpy oracles."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from video_analytics_tpu.config import PreprocessConfig, IMAGENET_MEAN, IMAGENET_STD
+from video_analytics_tpu import ops
+
+
+def test_resize_matches_cv2(rng):
+    img = rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
+    ours = np.asarray(ops.resize_bilinear(jnp.asarray(img), (256, 340)))
+    ref = cv2.resize(img, (340, 256), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours - ref).max() < 1e-2, np.abs(ours - ref).max()
+
+
+def test_resize_downscale_matches_cv2(rng):
+    img = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
+    ours = np.asarray(ops.resize_bilinear(jnp.asarray(img), (112, 149)))
+    ref = cv2.resize(img, (149, 112), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours - ref).max() < 2e-2, np.abs(ours - ref).max()
+
+
+def test_resize_short_side_shapes():
+    x = jnp.zeros((4, 240, 320, 3), jnp.uint8)
+    y = ops.resize_short_side(x, 256)
+    assert y.shape == (4, 256, 341, 3)
+    x = jnp.zeros((4, 320, 240, 3), jnp.uint8)
+    y = ops.resize_short_side(x, 256)
+    assert y.shape == (4, 341, 256, 3)
+
+
+def test_center_crop_matches_torchvision_convention(rng):
+    img = rng.uniform(0, 255, (2, 256, 341, 3)).astype(np.float32)
+    out = np.asarray(ops.center_crop(jnp.asarray(img), 224))
+    top = int(round((256 - 224) / 2.0))
+    left = int(round((341 - 224) / 2.0))
+    np.testing.assert_array_equal(out, img[:, top:top + 224, left:left + 224])
+
+
+def test_normalize(rng):
+    img = rng.integers(0, 256, (3, 8, 8, 3)).astype(np.uint8)
+    out = np.asarray(ops.normalize(jnp.asarray(img), IMAGENET_MEAN, IMAGENET_STD))
+    ref = (img.astype(np.float32) / 255.0 - np.array(IMAGENET_MEAN)) \
+        / np.array(IMAGENET_STD)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_preprocess_clip_end_to_end(rng):
+    frames = rng.integers(0, 256, (6, 240, 320, 3)).astype(np.uint8)
+    cfg = PreprocessConfig()
+    out = ops.preprocess_clip_jit(jnp.asarray(frames), cfg)
+    assert out.shape == (6, 224, 224, 3)
+    # Oracle: cv2 resize + torchvision-style center crop + normalize.
+    ref_frames = []
+    for f in frames:
+        r = cv2.resize(f.astype(np.float32), (341, 256),
+                       interpolation=cv2.INTER_LINEAR)
+        top, left = int(round((256 - 224) / 2)), int(round((341 - 224) / 2))
+        r = r[top:top + 224, left:left + 224]
+        r = (r / 255.0 - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+        ref_frames.append(r)
+    ref = np.stack(ref_frames)
+    assert np.abs(np.asarray(out) - ref).max() < 1e-3
+
+
+def test_random_crop_flip_shapes_and_determinism():
+    x = jnp.arange(2 * 40 * 50 * 3, dtype=jnp.float32).reshape(2, 40, 50, 3)
+    key = jax.random.PRNGKey(0)
+    a = ops.random_crop_flip(x, 32, key, flip=True)
+    b = ops.random_crop_flip(x, 32, key, flip=True)
+    assert a.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Same crop offset across the clip (temporal coherence): both frames
+    # come from the same window.
+    c = ops.random_crop_flip(x, 32, jax.random.PRNGKey(3), flip=False)
+    src = np.asarray(x)
+    found = False
+    for top in range(40 - 32 + 1):
+        for left in range(50 - 32 + 1):
+            if np.array_equal(np.asarray(c), src[:, top:top+32, left:left+32]):
+                found = True
+    assert found
+
+
+def test_rgb_to_gray_matches_cv2(rng):
+    img = rng.integers(0, 256, (32, 33, 3)).astype(np.uint8)
+    ours = np.asarray(ops.rgb_to_gray(jnp.asarray(img)))
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 0.51  # cv2 rounds to uint8
+
+
+def test_stack_flow_windows():
+    t, h, w = 12, 8, 9
+    flow = jnp.arange(t * h * w * 2, dtype=jnp.float32).reshape(t, h, w, 2)
+    wins = ops.stack_flow_windows(flow, stack=10, stride=1)
+    assert wins.shape == (3, h, w, 20)
+    np.testing.assert_array_equal(
+        np.asarray(wins[1, ..., 0:2]), np.asarray(flow[1]))
+    np.testing.assert_array_equal(
+        np.asarray(wins[2, ..., 18:20]), np.asarray(flow[11]))
+
+
+def test_normalize_flow_stack():
+    x = jnp.asarray([[-50.0, -20.0, 0.0, 10.0, 99.0]])
+    out = np.asarray(ops.normalize_flow_stack(x, bound=20.0))
+    np.testing.assert_allclose(out, [[-1.0, -1.0, 0.0, 0.5, 1.0]])

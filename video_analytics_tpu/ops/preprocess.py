@@ -1,0 +1,139 @@
+"""Fused on-device preprocessing: resize → crop → normalize → stack.
+
+The reference pipeline does these as separate host-side numpy/cv2/
+torchvision transforms between filesystem stages; here they are jitted
+into ONE XLA program (NHWC, channels-last — the TPU-native layout) that
+runs where the data already lives (HBM) and fuses with the downstream
+CNN (SURVEY.md §2b #1).
+
+Numerics are matched to the oracles used by the tests:
+- resize: bilinear with half-pixel centers and no antialiasing —
+  cv2.resize(INTER_LINEAR) semantics;
+- center crop: torchvision's rounding, top = round((H - c)/2);
+- normalize: x/255 → (x - mean)/std with ImageNet statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_analytics_tpu.config import PreprocessConfig
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize of (..., H, W, C) to (..., h, w, C).
+
+    cv2.INTER_LINEAR parity: half-pixel centers, no antialias.
+    """
+    *lead, h, w, c = x.shape
+    out = jax.image.resize(
+        x.astype(jnp.float32),
+        (*lead, out_hw[0], out_hw[1], c),
+        method="linear",
+        antialias=False,
+    )
+    return out
+
+
+def resize_short_side(x: jax.Array, short: int) -> jax.Array:
+    """Resize (..., H, W, C) so the short side equals `short`, keeping
+    aspect (torchvision Resize(int) semantics; shapes resolved at trace
+    time so each distinct input size compiles once)."""
+    h, w = x.shape[-3], x.shape[-2]
+    if h <= w:
+        out_hw = (short, max(1, int(round(w * short / h))))
+    else:
+        out_hw = (max(1, int(round(h * short / w))), short)
+    return resize_bilinear(x, out_hw)
+
+
+def center_crop(x: jax.Array, crop: int) -> jax.Array:
+    h, w = x.shape[-3], x.shape[-2]
+    if h < crop or w < crop:
+        raise ValueError(f"cannot center-crop {crop} from {(h, w)}")
+    top = int(round((h - crop) / 2.0))
+    left = int(round((w - crop) / 2.0))
+    return x[..., top:top + crop, left:left + crop, :]
+
+
+def random_crop_flip(x: jax.Array, crop: int, key: jax.Array,
+                     flip: bool = True) -> jax.Array:
+    """Random spatial crop (one offset per call, shared across the clip
+    so temporal coherence is preserved) + optional horizontal flip."""
+    h, w = x.shape[-3], x.shape[-2]
+    k1, k2, k3 = jax.random.split(key, 3)
+    top = jax.random.randint(k1, (), 0, h - crop + 1)
+    left = jax.random.randint(k2, (), 0, w - crop + 1)
+    start = [0] * (x.ndim - 3) + [top, left, 0]
+    sizes = list(x.shape[:-3]) + [crop, crop, x.shape[-1]]
+    out = jax.lax.dynamic_slice(x, start, sizes)
+    if flip:
+        do_flip = jax.random.bernoulli(k3)
+        out = jax.lax.cond(do_flip, lambda v: jnp.flip(v, axis=-2),
+                           lambda v: v, out)
+    return out
+
+
+def normalize(x: jax.Array, mean, std) -> jax.Array:
+    """uint8/float [0,255] (..., C) → ImageNet-normalized float32."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def preprocess_clip(frames: jax.Array, cfg: PreprocessConfig,
+                    key: Optional[jax.Array] = None) -> jax.Array:
+    """(T, H, W, 3) uint8 RGB → (T, crop, crop, 3) normalized float32.
+
+    The whole chain traces into one XLA program; under jit it fuses
+    with whatever consumes it (the CNN stem).
+    """
+    x = resize_short_side(frames, cfg.resize_short)
+    if cfg.random_crop:
+        if key is None:
+            raise ValueError("random_crop requires a PRNG key")
+        x = random_crop_flip(x, cfg.crop, key, flip=cfg.random_flip)
+    else:
+        x = center_crop(x, cfg.crop)
+    return normalize(x, cfg.mean, cfg.std)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_clip_jit(frames: jax.Array, cfg: PreprocessConfig) -> jax.Array:
+    return preprocess_clip(frames, cfg)
+
+
+def rgb_to_gray(frames: jax.Array) -> jax.Array:
+    """(..., 3) RGB → (...,) gray float32 with cv2's BT.601 weights —
+    flow oracles (cv2) consume exactly this."""
+    w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    return jnp.tensordot(frames.astype(jnp.float32), w, axes=[[-1], [0]])
+
+
+def stack_flow_windows(flow: jax.Array, stack: int,
+                       stride: int = 1) -> jax.Array:
+    """(T-1, H, W, 2) flow fields → (N, H, W, 2*stack) stacked windows.
+
+    The flow-stream CNN consumes `stack` consecutive (u, v) fields as
+    2*stack input channels (classic two-stream input).  Windows start
+    at multiples of `stride`.
+    """
+    t = flow.shape[0]
+    if t < stack:
+        raise ValueError(f"need >= {stack} flow fields, got {t}")
+    starts = list(range(0, t - stack + 1, stride))
+    wins = jnp.stack([
+        jnp.concatenate(
+            [flow[s + i] for i in range(stack)], axis=-1)
+        for s in starts])
+    return wins
+
+
+def normalize_flow_stack(x: jax.Array, bound: float = 20.0) -> jax.Array:
+    """Clip flow to ±bound and scale to [-1, 1] — the dequantized-uint8
+    convention the flow stream is trained on."""
+    return jnp.clip(x, -bound, bound) / bound
