@@ -1,0 +1,89 @@
+"""ResNet-18 parity: flax (NHWC) vs the torch oracle, weight-converted.
+
+This is the feature-parity gate of BASELINE.json ("bitwise-comparable
+features within tolerance"): identical weights must give identical
+features/logits across frameworks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from tests.torch_resnet import random_torch_resnet18
+from video_analytics_tpu.models.resnet import (
+    resnet18, flow_stream_resnet18, init_resnet)
+from video_analytics_tpu.models.convert import (
+    torch_resnet_to_flax, inflate_stem_for_flow)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    return random_torch_resnet18(seed=0)
+
+
+@pytest.fixture(scope="module")
+def flax_variables(torch_model):
+    return torch_resnet_to_flax(torch_model.state_dict())
+
+
+def test_logits_parity(torch_model, flax_variables, rng):
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    model = resnet18()
+    ours = np.asarray(model.apply(flax_variables, jnp.asarray(x)))
+    assert ours.shape == ref.shape == (2, 1000)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_feature_parity(torch_model, flax_variables, rng):
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          return_features=True).numpy()
+    model = resnet18()
+    ours = np.asarray(model.apply(flax_variables, jnp.asarray(x),
+                                  return_features=True))
+    assert ours.shape == ref.shape == (2, 512)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_flow_stream_shapes(rng):
+    model = flow_stream_resnet18(stack=10, num_classes=101)
+    variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(64, 64))
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 20)).astype(np.float32))
+    out = model.apply(variables, x)
+    assert out.shape == (2, 101)
+    feats = model.apply(variables, x, return_features=True)
+    assert feats.shape == (2, 512)
+
+
+def test_stem_inflation(torch_model, flax_variables):
+    inflated = inflate_stem_for_flow(flax_variables, stack=10)
+    k = np.asarray(inflated["params"]["conv1"]["kernel"])
+    assert k.shape == (7, 7, 20, 64)
+    orig = np.asarray(flax_variables["params"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k[:, :, 0], orig.mean(axis=2), atol=1e-6)
+    # All duplicated channels identical.
+    np.testing.assert_allclose(k[:, :, 0], k[:, :, 19], atol=0)
+
+
+def test_train_mode_updates_batch_stats(rng):
+    model = resnet18(num_classes=10)
+    variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(64, 64))
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    out, mutated = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    assert out.shape == (4, 10)
+    before = variables["batch_stats"]["bn1"]["mean"]
+    after = mutated["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_wrong_channels_raises():
+    model = resnet18()
+    variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(32, 32))
+    with pytest.raises(ValueError):
+        model.apply(variables, jnp.zeros((1, 32, 32, 5)))

@@ -1,0 +1,72 @@
+"""Torch oracle: a ResNet-18 numerically identical to torchvision's
+(torchvision is not installed in this image, so the oracle architecture
+is defined here; weights are random but shared with the flax model via
+models/convert.py, which is exactly how real ImageNet checkpoints would
+be loaded)."""
+
+import torch
+import torch.nn as nn
+
+
+class TorchBasicBlock(nn.Module):
+    def __init__(self, inp, out, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inp, out, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(out)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(out, out, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out)
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inp, out, 1, stride, bias=False),
+                nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        identity = x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(y + identity)
+
+
+class TorchResNet18(nn.Module):
+    def __init__(self, num_classes=1000, in_channels=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = nn.Sequential(TorchBasicBlock(64, 64),
+                                    TorchBasicBlock(64, 64))
+        self.layer2 = nn.Sequential(TorchBasicBlock(64, 128, 2),
+                                    TorchBasicBlock(128, 128))
+        self.layer3 = nn.Sequential(TorchBasicBlock(128, 256, 2),
+                                    TorchBasicBlock(256, 256))
+        self.layer4 = nn.Sequential(TorchBasicBlock(256, 512, 2),
+                                    TorchBasicBlock(512, 512))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(512, num_classes)
+
+    def forward(self, x, return_features=False):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.avgpool(x).flatten(1)
+        if return_features:
+            return x
+        return self.fc(x)
+
+
+def random_torch_resnet18(seed=0, num_classes=1000, in_channels=3):
+    torch.manual_seed(seed)
+    model = TorchResNet18(num_classes, in_channels)
+    # Randomise batchnorm running stats too, so conversion is tested
+    # against non-trivial values.
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    return model

@@ -1,0 +1,127 @@
+"""ResNet family in flax (linen), TPU-native layout.
+
+Replaces the reference pipeline's torchvision ResNet-18 feature
+extractor (SURVEY.md §2b #9-10).  Design choices for TPU:
+
+- NHWC activations / HWIO kernels (XLA's native conv layout on TPU —
+  feeds the MXU without transposes);
+- parameterised compute dtype: params live in float32, activations run
+  in bfloat16 on TPU (MXU-native) and float32 in tests;
+- architecture is numerically identical to torchvision's
+  ``resnet18`` (7x7/2 stem, 3x3/2 maxpool, 4 stages of BasicBlocks,
+  global average pool, fc) so torch-trained weights convert exactly
+  (see models/convert.py);
+- the flow-stream variant differs only in stem input channels
+  (2L stacked flow components, classic two-stream temporal net).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        residual = x
+        y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                 name="conv2")(y)
+        y = norm(name="bn2")(y)
+        if residual.shape[-1] != self.filters or self.strides != 1:
+            residual = conv(self.filters, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """torchvision-compatible ResNet with BasicBlocks (18/34 family)."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    num_classes: int = 1000
+    in_channels: int = 3            # 3 for RGB, 2L for the flow stream
+    width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 return_features: bool = False):
+        """(N, H, W, in_channels) → logits (N, num_classes) or 512-d
+        penultimate features when return_features=True."""
+        if x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"expected {self.in_channels} input channels, got {x.shape}")
+        x = x.astype(self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        x = conv(self.width, (7, 7), strides=(2, 2),
+                 padding=[(3, 3), (3, 3)], name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            filters = self.width * (2 ** stage)
+            for block in range(num_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = BasicBlock(filters, strides, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(
+                    x, train=train)
+        x = jnp.mean(x, axis=(1, 2))       # global average pool → (N, 512)
+        features = x.astype(jnp.float32)
+        if return_features:
+            return features
+        x = nn.Dense(self.num_classes, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc")(x)
+        return x.astype(jnp.float32)
+
+
+def resnet18(num_classes: int = 1000, in_channels: int = 3,
+             dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), num_classes=num_classes,
+                  in_channels=in_channels, dtype=dtype)
+
+
+def resnet34(num_classes: int = 1000, in_channels: int = 3,
+             dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+                  in_channels=in_channels, dtype=dtype)
+
+
+def flow_stream_resnet18(stack: int = 10, num_classes: int = 101,
+                         dtype: Any = jnp.float32) -> ResNet:
+    """Temporal-stream net: stem consumes 2*stack flow channels."""
+    return resnet18(num_classes=num_classes, in_channels=2 * stack,
+                    dtype=dtype)
+
+
+def init_resnet(model: ResNet, key: jax.Array,
+                input_hw: Tuple[int, int] = (224, 224)):
+    """Initialise params + batch_stats with a dummy batch."""
+    dummy = jnp.zeros((1, *input_hw, model.in_channels), jnp.float32)
+    variables = model.init(key, dummy, train=False)
+    return variables
