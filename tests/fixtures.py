@@ -16,7 +16,7 @@ def smooth_image(rng: np.random.Generator, h: int, w: int,
     img = rng.uniform(0, 255, (h + 2 * pad, w + 2 * pad)).astype(np.float32)
     img = cv2.GaussianBlur(img, (blur, blur), 0)
     # Re-stretch contrast after blurring.
-    img = (img - img.min()) / max(img.ptp(), 1e-6) * 255.0
+    img = (img - img.min()) / max(np.ptp(img), 1e-6) * 255.0
     return img
 
 

@@ -1,0 +1,112 @@
+"""Farneback parity vs the cv2 oracle (BASELINE.json config #2:
+flow-field L2 parity).
+
+Tolerances: interior EPE is sub-0.01px on smooth content; whole-field
+relative L2 is bounded by border/occlusion bands where dense flow is
+ill-posed and implementations legitimately diverge.
+"""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.fixtures import smooth_pair
+from video_analytics_tpu.config import FarnebackConfig
+from video_analytics_tpu.flow import farneback, farneback_jit
+
+
+def _compare(u1, u2, cfg: FarnebackConfig, cv_args, cv_flags=0):
+    ref = cv2.calcOpticalFlowFarneback(u1, u2, None, *cv_args, cv_flags)
+    ours = np.asarray(farneback(
+        jnp.asarray(u1[None].astype(np.float32)),
+        jnp.asarray(u2[None].astype(np.float32)), cfg))[0]
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    rel_l2 = np.linalg.norm(ours - ref) / max(np.linalg.norm(ref), 1e-9)
+    return ref, ours, epe, rel_l2
+
+
+@pytest.fixture(scope="module")
+def pair(rng):
+    f1, f2 = smooth_pair(rng, 96, 128, dx=2.3, dy=-1.1)
+    return f1.astype(np.uint8), f2.astype(np.uint8)
+
+
+def test_default_config_parity(pair):
+    u1, u2 = pair
+    ref, ours, epe, rel = _compare(
+        u1, u2, FarnebackConfig(), (0.5, 3, 15, 3, 5, 1.2))
+    assert rel < 0.03, rel
+    assert epe[8:-8, 8:-8].mean() < 0.01
+    # Flow direction/magnitude sanity: known translation (2.3, -1.1).
+    mean_flow = ours.reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(mean_flow, [2.3, -1.1], atol=0.25)
+
+
+def test_poly7_parity(pair):
+    u1, u2 = pair
+    _, _, epe, rel = _compare(
+        u1, u2, FarnebackConfig(poly_n=7, poly_sigma=1.5),
+        (0.5, 3, 15, 3, 7, 1.5))
+    assert rel < 0.04, rel
+    assert epe[8:-8, 8:-8].mean() < 0.02
+
+
+def test_small_window_parity(pair):
+    u1, u2 = pair
+    _, _, epe, rel = _compare(
+        u1, u2, FarnebackConfig(winsize=9), (0.5, 3, 9, 3, 5, 1.2))
+    assert rel < 0.10, rel
+    assert epe[8:-8, 8:-8].mean() < 0.03
+
+
+def test_gaussian_window_interior_parity(pair):
+    # cv2's Gaussian-window path treats the border band differently;
+    # interior parity is what we gate on.
+    u1, u2 = pair
+    _, _, epe, rel = _compare(
+        u1, u2, FarnebackConfig(gaussian_window=True),
+        (0.5, 3, 15, 3, 5, 1.2), cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
+    assert epe[8:-8, 8:-8].mean() < 0.02
+    assert rel < 0.15
+
+
+def test_large_motion_pyramid(rng):
+    f1, f2 = smooth_pair(rng, 192, 256, dx=9.0, dy=-6.0)
+    u1, u2 = f1.astype(np.uint8), f2.astype(np.uint8)
+    ref, ours, epe, rel = _compare(
+        u1, u2, FarnebackConfig(), (0.5, 3, 15, 3, 5, 1.2))
+    assert rel < 0.08, rel
+    # Interior recovers the 9px translation despite exceeding winsize.
+    inner = ours[16:-16, 16:-16].reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(inner, [9.0, -6.0], atol=0.5)
+
+
+def test_nondefault_pyr_scale(rng):
+    f1, f2 = smooth_pair(rng, 96, 128, dx=1.7, dy=2.2)
+    u1, u2 = f1.astype(np.uint8), f2.astype(np.uint8)
+    _, _, epe, rel = _compare(
+        u1, u2, FarnebackConfig(pyr_scale=0.8, levels=5),
+        (0.8, 5, 15, 3, 5, 1.2))
+    assert rel < 0.05, rel
+
+
+def test_batched_and_jit(pair):
+    u1, u2 = pair
+    prev = jnp.stack([jnp.asarray(u1, jnp.float32)] * 3)
+    nxt = jnp.stack([jnp.asarray(u2, jnp.float32)] * 3)
+    out = farneback_jit(prev, nxt, FarnebackConfig(levels=1))
+    assert out.shape == (3, 96, 128, 2)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[2]),
+                               atol=1e-6)
+
+
+def test_use_initial_flow(pair):
+    u1, u2 = pair
+    J1 = jnp.asarray(u1[None].astype(np.float32))
+    J2 = jnp.asarray(u2[None].astype(np.float32))
+    cfg = FarnebackConfig(levels=0, iterations=1, use_initial_flow=True)
+    seed = jnp.full((1, 96, 128, 2), jnp.asarray([2.3, -1.1]))
+    out = np.asarray(farneback(J1, J2, cfg, initial_flow=seed))[0]
+    inner = out[10:-10, 10:-10].reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(inner, [2.3, -1.1], atol=0.3)

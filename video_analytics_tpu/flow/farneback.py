@@ -1,0 +1,257 @@
+"""Farnebäck 2003 dense optical flow, TPU-native.
+
+Replaces the reference pipeline's ``cv2.calcOpticalFlowFarneback``
+(OpenCV C++ CPU) with a JAX implementation whose whole pyramid traces
+into one XLA program: the per-level polynomial expansions are separable
+correlations (conv unit), the displacement solve is elementwise (VPU),
+and everything is batched over frame pairs.  Parity vs the cv2 oracle
+is tolerance-tested (BASELINE.json config #2, flow-field L2 check).
+
+Algorithm per Farnebäck's paper + OpenCV's documented semantics:
+each pixel neighbourhood is fit with a quadratic f(x) = xᵀAx + bᵀx + c
+via Gaussian-weighted least squares; for a displacement d between two
+expansions, A = (A1 + A2w)/2, Δb = -(b2w - b1)/2 + A·d; d is solved
+from window-averaged normal equations (AᵀA)d = AᵀΔb, iterated with
+re-warping, coarse-to-fine over an image pyramid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_analytics_tpu.config import FarnebackConfig
+from video_analytics_tpu.ops.kernels import (
+    bilinear_sample, box_blur, gaussian_kernel_1d, gaussian_blur,
+    sepcorr, resize_area_like)
+
+
+# ---------------------------------------------------------------------------
+# Polynomial expansion
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _poly_exp_setup(n: int, sigma: float):
+    """1D applicability kernels + the inverse-Gramian coefficients.
+
+    Mirrors OpenCV's FarnebackPrepareGaussian: build the 6x6 Gramian of
+    the basis (1, x, y, x², y², xy) under the separable Gaussian
+    applicability, invert, and keep the entries used for coefficient
+    recovery (ig11, ig03, ig33, ig55).
+    """
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x ** 2) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = x * g
+    xxg = x * x * g
+
+    G = np.zeros((6, 6), np.float64)
+    for yy in range(-n, n + 1):
+        for xx in range(-n, n + 1):
+            w = g[yy + n] * g[xx + n]
+            G[0, 0] += w
+            G[1, 1] += w * xx * xx
+            G[3, 3] += w * xx ** 4
+            G[5, 5] += w * xx * xx * yy * yy
+    G[2, 2] = G[1, 1]
+    G[4, 4] = G[3, 3]
+    G[0, 3] = G[0, 4] = G[3, 0] = G[4, 0] = G[1, 1]
+    G[3, 4] = G[4, 3] = G[5, 5]
+    invG = np.linalg.inv(G)
+    ig11, ig03, ig33, ig55 = invG[1, 1], invG[0, 3], invG[3, 3], invG[5, 5]
+    return (g.astype(np.float32), xg.astype(np.float32),
+            xxg.astype(np.float32),
+            float(ig11), float(ig03), float(ig33), float(ig55))
+
+
+def poly_expansion(img: jax.Array, n: int, sigma: float) -> jax.Array:
+    """(B, H, W) image → (B, H, W, 5) poly coefficients
+    (bx, by, axx, ayy, axy-basis) via separable correlations."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_setup(n, sigma)
+    g, xg, xxg = jnp.asarray(g), jnp.asarray(xg), jnp.asarray(xxg)
+
+    img = img.astype(jnp.float32)
+    # b* = correlation with (basis · applicability); separable passes.
+    s1 = sepcorr(img, g, g)        # const
+    sx = sepcorr(img, g, xg)       # x
+    sy = sepcorr(img, xg, g)       # y
+    sxx = sepcorr(img, g, xxg)     # x²
+    syy = sepcorr(img, xxg, g)     # y²
+    sxy = sepcorr(img, xg, xg)     # xy
+
+    bx = sx * ig11
+    by = sy * ig11
+    cxx = s1 * ig03 + sxx * ig33
+    cyy = s1 * ig03 + syy * ig33
+    cxy = sxy * ig55
+    return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Matrix update + flow solve
+# ---------------------------------------------------------------------------
+
+_BORDER_WEIGHTS = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+
+
+@functools.lru_cache(maxsize=32)
+def _border_attenuation_np(h: int, w: int) -> np.ndarray:
+    nb = len(_BORDER_WEIGHTS)
+    wy = np.ones(h, np.float32)
+    wx = np.ones(w, np.float32)
+    for i, s in enumerate(_BORDER_WEIGHTS):
+        if i < h:
+            wy[i] *= s
+            wy[h - 1 - i] *= s
+        if i < w:
+            wx[i] *= s
+            wx[w - 1 - i] *= s
+    return np.outer(wy, wx)
+
+
+def _border_attenuation(h: int, w: int) -> jax.Array:
+    return jnp.asarray(_border_attenuation_np(h, w))
+
+
+def update_matrices(R0: jax.Array, R1: jax.Array,
+                    flow: jax.Array) -> jax.Array:
+    """Per-pixel normal-equation entries (B, H, W, 5) =
+    (G11, G12, G22, h1, h2) from paired expansions and current flow."""
+    B, H, W, _ = R0.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    dx, dy = flow[..., 0], flow[..., 1]
+    R1w = bilinear_sample(R1, yy + dy, xx + dx)
+
+    a11 = (R0[..., 2] + R1w[..., 2]) * 0.5
+    a22 = (R0[..., 3] + R1w[..., 3]) * 0.5
+    a12 = (R0[..., 4] + R1w[..., 4]) * 0.25
+    dbx = (R0[..., 0] - R1w[..., 0]) * 0.5 + a11 * dx + a12 * dy
+    dby = (R0[..., 1] - R1w[..., 1]) * 0.5 + a12 * dx + a22 * dy
+
+    # cv2-style border attenuation: entries within 5px of the frame are
+    # down-weighted so the window average trusts interior pixels more.
+    att = _border_attenuation(H, W)[None]
+    a11, a22, a12 = a11 * att, a22 * att, a12 * att
+    dbx, dby = dbx * att, dby * att
+
+    g11 = a11 * a11 + a12 * a12
+    g12 = (a11 + a22) * a12
+    g22 = a22 * a22 + a12 * a12
+    h1 = a11 * dbx + a12 * dby
+    h2 = a12 * dbx + a22 * dby
+    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+
+
+def _solve_flow(M: jax.Array) -> jax.Array:
+    g11, g12, g22, h1, h2 = (M[..., i] for i in range(5))
+    det = g11 * g22 - g12 * g12
+    idet = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def _blur_M(M: jax.Array, cfg: FarnebackConfig) -> jax.Array:
+    B, H, W, C = M.shape
+    flat = M.transpose(0, 3, 1, 2).reshape(B * C, H, W)
+    if cfg.gaussian_window:
+        m = cfg.winsize // 2
+        sigma = m * 0.3
+        k = gaussian_kernel_1d(sigma, n=m)
+        blurred = sepcorr(flat, jnp.asarray(k), jnp.asarray(k))
+    else:
+        blurred = box_blur(flat, cfg.winsize)
+    return blurred.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+
+
+def _level_sizes(h: int, w: int, cfg: FarnebackConfig):
+    """Static per-level (h, w, scale), coarsest-first, finest-last.
+
+    cv2 semantics: levels are clamped so no level's side drops below 32
+    px (min_size), and level k has scale pyr_scale**k for k=levels..0.
+    """
+    min_size = 32
+    levels = cfg.levels
+    scale = 1.0
+    for k in range(cfg.levels):
+        scale *= cfg.pyr_scale
+        if w * scale < min_size or h * scale < min_size:
+            levels = k
+            break
+    sizes = []
+    for k in range(levels, -1, -1):
+        s = cfg.pyr_scale ** k
+        sizes.append((int(round(h * s)), int(round(w * s)), s))
+    return sizes
+
+
+def _smooth_and_resize(img: jax.Array, scale: float,
+                       out_hw: Tuple[int, int]) -> jax.Array:
+    """OpenCV's per-level image prep: Gaussian blur with
+    sigma=(1/scale-1)*0.5 on the ORIGINAL image, then bilinear resize."""
+    if scale >= 1.0:
+        return img
+    sigma = (1.0 / scale - 1.0) * 0.5
+    sm = gaussian_blur(img, sigma)
+    return resize_area_like(sm, out_hw)
+
+
+def farneback(prev: jax.Array, nxt: jax.Array,
+              cfg: FarnebackConfig = FarnebackConfig(),
+              initial_flow: Optional[jax.Array] = None) -> jax.Array:
+    """Dense flow for a batch of gray frame pairs.
+
+    Args:
+      prev, nxt: (B, H, W) float32 in [0, 255] (or uint8).
+      cfg: FarnebackConfig (static under jit).
+      initial_flow: optional (B, H, W, 2) seed
+        (cv2.OPTFLOW_USE_INITIAL_FLOW).
+
+    Returns:
+      (B, H, W, 2) float32 flow, channels (dx, dy):
+      prev(p) ≈ next(p + flow(p)).
+    """
+    prev = prev.astype(jnp.float32)
+    nxt = nxt.astype(jnp.float32)
+    B, H, W = prev.shape
+    sizes = _level_sizes(H, W, cfg)
+
+    flow = None
+    for li, (lh, lw, scale) in enumerate(sizes):
+        I0 = _smooth_and_resize(prev, scale, (lh, lw))
+        I1 = _smooth_and_resize(nxt, scale, (lh, lw))
+
+        if flow is None:
+            if cfg.use_initial_flow and initial_flow is not None:
+                f = jax.image.resize(initial_flow.astype(jnp.float32),
+                                     (B, lh, lw, 2), method="linear",
+                                     antialias=False)
+                flow = f * scale
+            else:
+                flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+        else:
+            # cv2: bilinear-resize the coarser flow and scale values by
+            # exactly 1/pyr_scale (not the rounded size ratio).
+            flow = jax.image.resize(flow, (B, lh, lw, 2), method="linear",
+                                    antialias=False) * (1.0 / cfg.pyr_scale)
+
+        R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
+        R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
+
+        M = update_matrices(R0, R1, flow)
+        for it in range(cfg.iterations):
+            flow = _solve_flow(_blur_M(M, cfg))
+            if it < cfg.iterations - 1:
+                M = update_matrices(R0, R1, flow)
+    return flow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def farneback_jit(prev: jax.Array, nxt: jax.Array,
+                  cfg: FarnebackConfig = FarnebackConfig()) -> jax.Array:
+    return farneback(prev, nxt, cfg)
