@@ -1,0 +1,201 @@
+"""TV-L1 dense optical flow (Zach, Pock, Bischof 2007), TPU-native.
+
+Replaces the reference pipeline's ``cv2.optflow.DualTVL1OpticalFlow``
+(OpenCV contrib C++; not present in this environment, so the test
+oracle is an independent numpy implementation of the same published
+algorithm).  Parameter names and defaults mirror the OpenCV API
+(SURVEY.md §3.2); iteration structure follows the IPOL reference
+implementation (Sánchez Pérez et al. 2013) that OpenCV's is based on:
+
+per scale (coarse→fine), per warp:
+  - bilinearly warp I1 and ∇I1 by the current flow u0,
+  - ρ(u) = I1w(p) + ⟨∇I1w, u − u0⟩ − I0  (linearised residual),
+  - iterate: v-step — soft threshold ρ against λθ|∇I1w|²;
+             u-step — u = v + θ·div(p);
+             dual step — p ← (p + (τ/θ)∇u) / (1 + (τ/θ)|∇u|);
+  - median-filter u between outer iterations (OpenCV extension),
+  - stop early when the mean squared update < ε² (lax.while_loop).
+
+TPU mapping: the per-pixel updates are pure VPU elementwise work; the
+warp is a vectorised gather; each (scale, warp) is ONE fused
+while_loop so the whole pyramid compiles to a single XLA program,
+batched over frame pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_analytics_tpu.config import TVL1Config
+from video_analytics_tpu.ops.kernels import (
+    bilinear_sample, centered_gradient, divergence, forward_gradient,
+    gaussian_blur, resize_area_like)
+from video_analytics_tpu.ops.median import median_filter2d
+
+_MIN_SIZE = 16         # coarsest pyramid level must keep both dims >= this
+_ZOOM_SIGMA0 = 0.6     # IPOL pre-smoothing constant for pyramid downscale
+_GRAD_EPS = 1e-10      # guard for the v-step division
+
+
+def _level_sizes(h: int, w: int, cfg: TVL1Config) -> List[Tuple[int, int]]:
+    """Finest-first level sizes, clamped so the coarsest dim >= 16."""
+    sizes = [(h, w)]
+    for s in range(1, cfg.nscales):
+        scale = cfg.scale_step ** s
+        lh, lw = int(round(h * scale)), int(round(w * scale))
+        if min(lh, lw) < _MIN_SIZE:
+            break
+        sizes.append((lh, lw))
+    return sizes
+
+
+def _downscale(img: jax.Array, out_hw: Tuple[int, int],
+               zoom: float) -> jax.Array:
+    """IPOL zoom-out: Gaussian pre-smooth with σ = 0.6·√(1/z² − 1),
+    then bilinear resize."""
+    sigma = _ZOOM_SIGMA0 * math.sqrt(1.0 / zoom ** 2 - 1.0) \
+        if zoom < 1.0 else 0.0
+    sm = gaussian_blur(img, sigma) if sigma > 1e-6 else img
+    return resize_area_like(sm, out_hw)
+
+
+def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
+               u: jax.Array, v: jax.Array):
+    """Warp I1 and its gradients by the current flow (u, v)."""
+    B, H, W = I1.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    stacked = jnp.stack([I1, I1x, I1y], axis=-1)
+    w = bilinear_sample(stacked, yy + v, xx + u)
+    return w[..., 0], w[..., 1], w[..., 2]
+
+
+def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
+    """All primal-dual iterations for one warp, as one while_loop."""
+    l_t = cfg.lambda_ * cfg.theta
+    taut = cfg.tau / cfg.theta
+    grad = I1wx * I1wx + I1wy * I1wy
+    rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
+    n_px = u.shape[1] * u.shape[2]
+    eps2 = cfg.epsilon * cfg.epsilon
+    total = cfg.outer_iterations * cfg.inner_iterations
+
+    p11 = jnp.zeros_like(u)
+    p12 = jnp.zeros_like(u)
+    p21 = jnp.zeros_like(u)
+    p22 = jnp.zeros_like(u)
+
+    def body(state):
+        u, v, p11, p12, p21, p22, step, _ = state
+
+        # Median filtering at outer-iteration boundaries.
+        if cfg.median_filtering > 1:
+            at_outer = (step % cfg.inner_iterations) == 0
+            u, v = jax.lax.cond(
+                at_outer,
+                lambda uv: (median_filter2d(uv[0], cfg.median_filtering),
+                            median_filter2d(uv[1], cfg.median_filtering)),
+                lambda uv: uv, (u, v))
+
+        # v-step: soft threshold of the linearised residual.
+        rho = rho_c + I1wx * u + I1wy * v
+        th = l_t * grad
+        d = jnp.where(
+            rho < -th, l_t,
+            jnp.where(rho > th, -l_t, -rho / jnp.maximum(grad, _GRAD_EPS)))
+        v1 = u + d * I1wx
+        v2 = v + d * I1wy
+
+        # u-step: couple to the TV-regularised field.
+        un = v1 + cfg.theta * divergence(p11, p12)
+        vn = v2 + cfg.theta * divergence(p21, p22)
+        err = jnp.max(jnp.sum(
+            (un - u) ** 2 + (vn - v) ** 2, axis=(1, 2)) / n_px)
+
+        # dual step.
+        ux, uy = forward_gradient(un)
+        vx, vy = forward_gradient(vn)
+        ng_u = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
+        ng_v = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
+        p11 = (p11 + taut * ux) / ng_u
+        p12 = (p12 + taut * uy) / ng_u
+        p21 = (p21 + taut * vx) / ng_v
+        p22 = (p22 + taut * vy) / ng_v
+        return un, vn, p11, p12, p21, p22, step + 1, err
+
+    def cond(state):
+        *_, step, err = state
+        converged = err < eps2
+        at_outer = (step % cfg.inner_iterations) == 0
+        # Early exit is only taken at outer boundaries (cv2 semantics).
+        return jnp.logical_and(step < total,
+                               jnp.logical_not(
+                                   jnp.logical_and(at_outer, converged)))
+
+    init = (u, v, p11, p12, p21, p22, jnp.int32(0), jnp.float32(jnp.inf))
+    u, v, *_ = jax.lax.while_loop(cond, body, init)
+    return u, v
+
+
+def tvl1(prev: jax.Array, nxt: jax.Array,
+         cfg: TVL1Config = TVL1Config(),
+         initial_flow: Optional[jax.Array] = None) -> jax.Array:
+    """Dense TV-L1 flow for a batch of gray frame pairs.
+
+    Args:
+      prev, nxt: (B, H, W) float32 in [0, 255] (or uint8).
+      cfg: TVL1Config (static under jit).
+      initial_flow: optional (B, H, W, 2) seed.
+
+    Returns:
+      (B, H, W, 2) float32 flow (dx, dy): prev(p) ≈ next(p + flow(p)).
+    """
+    I0_full = prev.astype(jnp.float32)
+    I1_full = nxt.astype(jnp.float32)
+    B, H, W = I0_full.shape
+    sizes = _level_sizes(H, W, cfg)
+
+    # Build pyramids finest→coarsest, each level from the previous one.
+    I0s, I1s = [I0_full], [I1_full]
+    for s in range(1, len(sizes)):
+        I0s.append(_downscale(I0s[-1], sizes[s], cfg.scale_step))
+        I1s.append(_downscale(I1s[-1], sizes[s], cfg.scale_step))
+
+    u = v = None
+    for s in range(len(sizes) - 1, -1, -1):
+        lh, lw = sizes[s]
+        I0, I1 = I0s[s], I1s[s]
+        if u is None:
+            if cfg.use_initial_flow and initial_flow is not None:
+                scale = cfg.scale_step ** s
+                f = jax.image.resize(initial_flow.astype(jnp.float32),
+                                     (B, lh, lw, 2), method="linear",
+                                     antialias=False) * scale
+                u, v = f[..., 0], f[..., 1]
+            else:
+                u = jnp.zeros((B, lh, lw), jnp.float32)
+                v = jnp.zeros((B, lh, lw), jnp.float32)
+        else:
+            u = resize_area_like(u, (lh, lw)) * (1.0 / cfg.scale_step)
+            v = resize_area_like(v, (lh, lw)) * (1.0 / cfg.scale_step)
+
+        I1x, I1y = centered_gradient(I1)
+        for _ in range(cfg.warps):
+            u0, v0 = u, v
+            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0)
+            u, v = _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg)
+        if cfg.median_filtering > 1:
+            u = median_filter2d(u, cfg.median_filtering)
+            v = median_filter2d(v, cfg.median_filtering)
+    return jnp.stack([u, v], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def tvl1_jit(prev: jax.Array, nxt: jax.Array,
+             cfg: TVL1Config = TVL1Config()) -> jax.Array:
+    return tvl1(prev, nxt, cfg)

@@ -131,6 +131,38 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array
     return top * (1 - fy) + bot * fy
 
 
+def centered_gradient(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Central-difference gradient of (B, H, W) with replicate borders
+    (border derivative = one-sided difference halved, cv2-style).
+    Returns (dx, dy)."""
+    xp = pad_border(x, 1, axes=(2,), mode="edge")
+    gx = (xp[:, :, 2:] - xp[:, :, :-2]) * 0.5
+    yp = pad_border(x, 1, axes=(1,), mode="edge")
+    gy = (yp[:, 2:, :] - yp[:, :-2, :]) * 0.5
+    return gx, gy
+
+
+def forward_gradient(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Forward differences with zero at the last row/col (the adjoint
+    convention the TV dual update needs)."""
+    gx = jnp.concatenate(
+        [x[:, :, 1:] - x[:, :, :-1], jnp.zeros_like(x[:, :, :1])], axis=2)
+    gy = jnp.concatenate(
+        [x[:, 1:, :] - x[:, :-1, :], jnp.zeros_like(x[:, :1, :])], axis=1)
+    return gx, gy
+
+
+def divergence(p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """Backward-difference divergence, the negative adjoint of
+    forward_gradient: div(p)(i,j) = p1(i,j)-p1(i,j-1) + p2(i,j)-p2(i-1,j),
+    with the first col/row using p directly."""
+    d1 = jnp.concatenate(
+        [p1[:, :, :1], p1[:, :, 1:] - p1[:, :, :-1]], axis=2)
+    d2 = jnp.concatenate(
+        [p2[:, :1, :], p2[:, 1:, :] - p2[:, :-1, :]], axis=1)
+    return d1 + d2
+
+
 def warp_by_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Backward-warp (B, H, W, C) by flow (B, H, W, 2) where
     flow[..., 0] = dx, flow[..., 1] = dy: out(p) = img(p + flow(p))."""
