@@ -1,0 +1,104 @@
+"""CLI surface tests: the four reference-matching entry points driven
+end-to-end on a synthetic clip (SURVEY.md §4.3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from video_analytics_tpu.cli.main import main
+from video_analytics_tpu.io.flowio import read_flo
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1]) if out else None
+
+
+def test_extract_frames(tmp_path, tiny_clip, capsys):
+    out_dir = str(tmp_path / "frames")
+    rc, res = run_cli(capsys, ["extract-frames", tiny_clip, out_dir])
+    assert rc == 0
+    assert res["frames"] == 12 and res["height"] == 120
+    files = sorted(os.listdir(out_dir))
+    assert files[0] == "frame_000001.jpg" and len(files) == 12
+
+
+def test_compute_flow_flo(tmp_path, tiny_clip, capsys):
+    out_dir = str(tmp_path / "flow")
+    rc, res = run_cli(capsys, [
+        "compute-flow", tiny_clip, out_dir, "--algo", "farneback",
+        "--max-frames", "6", "--batch", "4"])
+    assert rc == 0 and res["flows"] == 5
+    flow = read_flo(os.path.join(out_dir, "flow_000001.flo"))
+    assert flow.shape == (120, 160, 2)
+    # Square moves (2, 1) px/frame.
+    sq = flow[12:30, 12:30]
+    assert abs(np.median(sq[..., 0]) - 2.0) < 0.6
+    assert abs(np.median(sq[..., 1]) - 1.0) < 0.6
+
+
+def test_compute_flow_jpg_quantized(tmp_path, tiny_clip, capsys):
+    out_dir = str(tmp_path / "flowq")
+    rc, res = run_cli(capsys, [
+        "compute-flow", tiny_clip, out_dir, "--algo", "farneback",
+        "--format", "jpg", "--max-frames", "3"])
+    assert rc == 0 and res["flows"] == 2
+    assert os.path.exists(os.path.join(out_dir, "flow_x_000001.jpg"))
+    assert os.path.exists(os.path.join(out_dir, "flow_y_000002.jpg"))
+
+
+def test_compute_flow_single_frame_error(tmp_path, tiny_clip, capsys):
+    rc = main(["compute-flow", tiny_clip, str(tmp_path / "x"),
+               "--max-frames", "1"])
+    assert rc == 2
+
+
+def test_extract_features_rgb_from_frames_dir(tmp_path, tiny_clip, capsys):
+    frames_dir = str(tmp_path / "frames")
+    main(["extract-frames", tiny_clip, frames_dir])
+    capsys.readouterr()
+    out = str(tmp_path / "feats.npz")
+    rc, res = run_cli(capsys, [
+        "extract-features", frames_dir, out, "--stream", "rgb",
+        "--num-classes", "7", "--max-frames", "4"])
+    assert rc == 0 and res["rgb"] == [4, 512]
+    data = np.load(out)
+    assert data["rgb"].shape == (4, 512)
+    assert np.isfinite(data["rgb"]).all()
+
+
+def test_extract_features_flow_too_short(tmp_path, tiny_clip, capsys):
+    rc = main(["extract-features", tiny_clip, str(tmp_path / "f.npz"),
+               "--stream", "flow", "--max-frames", "5"])
+    assert rc == 2
+
+
+def test_classify_clip(tmp_path, tiny_clip, capsys):
+    rc, res = run_cli(capsys, [
+        "classify-clip", tiny_clip, "--algo", "farneback",
+        "--num-classes", "7", "--topk", "3"])
+    assert rc == 0
+    assert 0 <= res["top1"] < 7
+    assert len(res["topk"]) == 3
+    probs = [t["prob"] for t in res["topk"]]
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.checkpoint import (
+        save_variables, load_variables)
+    model = TwoStreamModel.create(num_classes=5)
+    v = model.init_variables(jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_variables(path, v)
+    model2 = TwoStreamModel.create(num_classes=5)
+    v2 = model2.init_variables(jax.random.PRNGKey(2))
+    restored = load_variables(path, v2)
+    a = np.asarray(v["spatial"]["params"]["conv1"]["kernel"])
+    b = np.asarray(restored["spatial"]["params"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,100 @@
+"""Mesh/sharding tests on 8 fake CPU devices (SURVEY.md §4.4:
+distributed code paths without a cluster)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from video_analytics_tpu.models.resnet import resnet18, init_resnet
+from video_analytics_tpu.parallel.mesh import (
+    make_mesh, data_sharding, replicated, shard_batch, pad_to_multiple)
+from video_analytics_tpu.runtime.train import (
+    create_train_state, make_train_step, shard_train_inputs)
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 fake devices")
+
+
+def test_mesh_shape():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sx = shard_batch(x, mesh)
+    assert sx.sharding.spec == data_sharding(mesh, 2).spec
+    # Each device holds 2 rows.
+    shard_shapes = {s.data.shape for s in sx.addressable_shards}
+    assert shard_shapes == {(2, 4)}
+    np.testing.assert_array_equal(np.asarray(sx), x)
+
+
+def test_pad_to_multiple():
+    x = np.arange(10)[:, None]
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape[0] == 16 and n == 10
+    np.testing.assert_array_equal(padded[10:], np.full((6, 1), 9))
+
+
+def test_sharded_train_step_matches_single_device():
+    """The gradient psum XLA inserts over the mesh must give the same
+    update as an unsharded step."""
+    model = resnet18(num_classes=5)
+    variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(32, 32))
+    tx = optax.sgd(0.1)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, (8,))
+
+    step = make_train_step(model, tx)
+
+    # Single device.
+    s1 = create_train_state(model, variables, tx)
+    s1, m1 = step(s1, jnp.asarray(x), jnp.asarray(y))
+
+    # Sharded over the 8-device mesh.
+    mesh = make_mesh()
+    s2 = create_train_state(model, variables, tx)
+    s2, xs, ys = shard_train_inputs(mesh, s2, jnp.asarray(x), jnp.asarray(y))
+    s2, m2 = step(s2, xs, ys)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # f32 reassociation across shards perturbs grads at ~1e-4; the
+    # update must agree to that level (lr=0.1).
+    a = np.asarray(s1.params["conv1"]["kernel"])
+    b = np.asarray(s2.params["conv1"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_sharded_inference_matches():
+    from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.pipeline import classify_batch
+    from tests.fixtures import moving_square_frames
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=1, iterations=1),
+                         window=12,)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    clip = np.stack(moving_square_frames(num=12, h=120, w=160))
+    windows = np.stack([clip] * 8)
+
+    probs_local = np.asarray(classify_batch(
+        jnp.asarray(windows), variables, model, cfg))
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    vs = jax.device_put(variables, rep)
+    ws = shard_batch(windows, mesh)
+    probs_sharded = np.asarray(classify_batch(ws, vs, model, cfg))
+    np.testing.assert_allclose(probs_local, probs_sharded, atol=1e-5)

@@ -1,0 +1,298 @@
+"""Public CLI surface: extract-frames, compute-flow, extract-features,
+classify-clip — matching the reference scripts' entry points
+(BASELINE.json north star), plus eval-ucf101 and train drivers.
+
+Usage: ``tpuva <command> ...`` or the standalone aliases installed by
+packaging (``extract-frames ...`` etc.).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _chunked(n: int, size: int):
+    for s in range(0, n, size):
+        yield s, min(s + size, n)
+
+
+def _load_frames(src: str, max_frames: Optional[int]) -> np.ndarray:
+    from video_analytics_tpu.io.video import VideoReader, read_frames_dir
+    if os.path.isdir(src):
+        return read_frames_dir(src, max_frames=max_frames)
+    with VideoReader(src) as r:
+        return r.read_all(max_frames=max_frames)
+
+
+# ---------------------------------------------------------------------------
+# extract-frames
+# ---------------------------------------------------------------------------
+
+def cmd_extract_frames(args) -> int:
+    from video_analytics_tpu.io.video import VideoReader, write_frames
+    with VideoReader(args.video) as r:
+        frames = r.read_all(max_frames=args.max_frames)
+    paths = write_frames(frames, args.out_dir, quality=args.quality)
+    print(json.dumps({"frames": len(paths), "out_dir": args.out_dir,
+                      "height": int(frames.shape[1]),
+                      "width": int(frames.shape[2])}))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# compute-flow
+# ---------------------------------------------------------------------------
+
+def cmd_compute_flow(args) -> int:
+    import jax.numpy as jnp
+    from video_analytics_tpu.config import (
+        FarnebackConfig, PipelineConfig, TVL1Config)
+    from video_analytics_tpu.io.flowio import (
+        quantize_flow, write_flo)
+    from video_analytics_tpu.ops import rgb_to_gray
+    from video_analytics_tpu.runtime.pipeline import compute_flow
+    import cv2
+    import jax
+
+    frames = _load_frames(args.src, args.max_frames)
+    if len(frames) < 2:
+        print("error: need at least 2 frames for flow", file=sys.stderr)
+        return 2
+    cfg = PipelineConfig(flow_algo=args.algo)
+    gray = np.asarray(rgb_to_gray(jnp.asarray(frames)))
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    n_pairs = len(frames) - 1
+    fn = jax.jit(lambda a, b: compute_flow(a, b, cfg))
+    written = 0
+    for s, e in _chunked(n_pairs, args.batch):
+        # Pad the final chunk to the batch size → one compiled shape.
+        prev = gray[s:e]
+        nxt = gray[s + 1:e + 1]
+        pad = args.batch - (e - s)
+        if pad:
+            prev = np.concatenate([prev, np.repeat(prev[-1:], pad, 0)])
+            nxt = np.concatenate([nxt, np.repeat(nxt[-1:], pad, 0)])
+        flow = np.asarray(fn(jnp.asarray(prev), jnp.asarray(nxt)))[:e - s]
+        for i, f in enumerate(flow):
+            idx = s + i + 1
+            if args.format == "flo":
+                write_flo(os.path.join(args.out_dir, f"flow_{idx:06d}.flo"),
+                          f)
+            else:
+                q = quantize_flow(f, bound=args.bound)
+                cv2.imwrite(os.path.join(
+                    args.out_dir, f"flow_x_{idx:06d}.jpg"), q[..., 0])
+                cv2.imwrite(os.path.join(
+                    args.out_dir, f"flow_y_{idx:06d}.jpg"), q[..., 1])
+            written += 1
+    print(json.dumps({"flows": written, "algo": args.algo,
+                      "format": args.format, "out_dir": args.out_dir}))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# extract-features
+# ---------------------------------------------------------------------------
+
+def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0):
+    import jax
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    model = TwoStreamModel.create(num_classes=num_classes,
+                                  flow_stack=flow_stack)
+    variables = model.init_variables(jax.random.PRNGKey(seed))
+    return model, variables
+
+
+def _load_two_stream(checkpoint: Optional[str], num_classes: int,
+                     flow_stack: int):
+    from video_analytics_tpu.runtime.checkpoint import load_variables
+    model, variables = _default_two_stream(num_classes, flow_stack)
+    if checkpoint:
+        variables = load_variables(checkpoint, variables)
+    return model, variables
+
+
+def cmd_extract_features(args) -> int:
+    import jax.numpy as jnp
+    from video_analytics_tpu.config import PipelineConfig
+    from video_analytics_tpu.runtime.pipeline import (
+        rgb_features, flow_features)
+
+    frames = _load_frames(args.src, args.max_frames)
+    cfg = PipelineConfig(flow_algo=args.algo)
+    model, variables = _load_two_stream(
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+
+    out = {}
+    if args.stream in ("rgb", "both"):
+        out["rgb"] = np.asarray(rgb_features(
+            jnp.asarray(frames), variables["spatial"], model.spatial,
+            cfg.preprocess))
+    if args.stream in ("flow", "both"):
+        need = cfg.preprocess.flow_stack + 1
+        if len(frames) < need:
+            print(f"error: flow features need >= {need} frames",
+                  file=sys.stderr)
+            return 2
+        out["flow"] = np.asarray(flow_features(
+            jnp.asarray(frames), variables["temporal"], model.temporal,
+            cfg))
+    np.savez(args.out, **out)
+    print(json.dumps({k: list(v.shape) for k, v in out.items()}
+                     | {"out": args.out}))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# classify-clip
+# ---------------------------------------------------------------------------
+
+def cmd_classify_clip(args) -> int:
+    from video_analytics_tpu.config import PipelineConfig
+    from video_analytics_tpu.runtime.evaluate import classify_clip_file
+
+    cfg = PipelineConfig(flow_algo=args.algo)
+    model, variables = _load_two_stream(
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+
+    classes: Optional[List[str]] = None
+    if args.class_index:
+        from video_analytics_tpu.io.dataset import read_class_index
+        ci = read_class_index(args.class_index)
+        classes = [None] * len(ci)
+        for name, idx in ci.items():
+            classes[idx] = name
+
+    probs = classify_clip_file(args.video, variables, model, cfg)
+    topk = np.argsort(probs)[::-1][:args.topk]
+    result = {"video": args.video,
+              "top1": int(topk[0]),
+              "topk": [{"class_id": int(i),
+                        "class_name": classes[i] if classes else None,
+                        "prob": float(probs[i])} for i in topk]}
+    print(json.dumps(result))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# eval-ucf101
+# ---------------------------------------------------------------------------
+
+def cmd_eval_ucf101(args) -> int:
+    from video_analytics_tpu.config import PipelineConfig
+    from video_analytics_tpu.io.dataset import UCF101
+    from video_analytics_tpu.runtime.evaluate import evaluate
+
+    cfg = PipelineConfig(flow_algo=args.algo)
+    model, variables = _load_two_stream(
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+    ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
+                split=args.split)
+    result = evaluate(ds.test_records(), variables, model, cfg,
+                      manifest_path=args.manifest,
+                      predictions_path=args.predictions,
+                      limit=args.limit)
+    print(json.dumps(result.as_dict()))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parser plumbing
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpuva",
+        description="TPU-native video analytics (two-stream + optical flow)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ef = sub.add_parser("extract-frames", help="decode video to frame JPEGs")
+    ef.add_argument("video")
+    ef.add_argument("out_dir")
+    ef.add_argument("--max-frames", type=int, default=None)
+    ef.add_argument("--quality", type=int, default=95)
+    ef.set_defaults(fn=cmd_extract_frames)
+
+    cf = sub.add_parser("compute-flow",
+                        help="dense optical flow for a clip/frames dir")
+    cf.add_argument("src")
+    cf.add_argument("out_dir")
+    cf.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1")
+    cf.add_argument("--format", choices=["flo", "jpg"], default="flo")
+    cf.add_argument("--bound", type=float, default=20.0)
+    cf.add_argument("--batch", type=int, default=8)
+    cf.add_argument("--max-frames", type=int, default=None)
+    cf.set_defaults(fn=cmd_compute_flow)
+
+    xf = sub.add_parser("extract-features",
+                        help="CNN features for a clip/frames dir")
+    xf.add_argument("src")
+    xf.add_argument("out", help="output .npz path")
+    xf.add_argument("--stream", choices=["rgb", "flow", "both"],
+                    default="rgb")
+    xf.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1")
+    xf.add_argument("--checkpoint", default=None)
+    xf.add_argument("--num-classes", type=int, default=101)
+    xf.add_argument("--max-frames", type=int, default=None)
+    xf.set_defaults(fn=cmd_extract_features)
+
+    cc = sub.add_parser("classify-clip",
+                        help="two-stream classification of one clip")
+    cc.add_argument("video")
+    cc.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1")
+    cc.add_argument("--checkpoint", default=None)
+    cc.add_argument("--class-index", default=None,
+                    help="UCF101 classInd.txt for names")
+    cc.add_argument("--num-classes", type=int, default=101)
+    cc.add_argument("--topk", type=int, default=5)
+    cc.set_defaults(fn=cmd_classify_clip)
+
+    ev = sub.add_parser("eval-ucf101", help="UCF101 split eval")
+    ev.add_argument("--videos", required=True)
+    ev.add_argument("--annotations", required=True)
+    ev.add_argument("--split", type=int, default=1)
+    ev.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1")
+    ev.add_argument("--checkpoint", default=None)
+    ev.add_argument("--num-classes", type=int, default=101)
+    ev.add_argument("--manifest", default=None)
+    ev.add_argument("--predictions", default=None)
+    ev.add_argument("--limit", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval_ucf101)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+# Standalone aliases (console_scripts in pyproject).
+def extract_frames_entry():
+    sys.exit(main(["extract-frames"] + sys.argv[1:]))
+
+
+def compute_flow_entry():
+    sys.exit(main(["compute-flow"] + sys.argv[1:]))
+
+
+def extract_features_entry():
+    sys.exit(main(["extract-features"] + sys.argv[1:]))
+
+
+def classify_clip_entry():
+    sys.exit(main(["classify-clip"] + sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+from video_analytics_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+    pad_to_multiple,
+)

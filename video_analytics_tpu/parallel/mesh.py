@@ -1,0 +1,66 @@
+"""Device mesh + sharding layout — the framework's communication layer.
+
+TPU-native design (SURVEY.md §2b #13-14): parallelism is expressed as a
+``jax.sharding.Mesh`` with a ``data`` axis (clip/batch parallel; the
+dominant axis for this CNN-scale workload) and an optional ``model``
+axis declared up front so tensor-parallel shardings can be added
+without API change.  XLA inserts the collectives (psum for gradient
+and metric reductions) and routes them over ICI within a slice / DCN
+across slices — there is no hand-written transport layer, by design:
+on TPU the runtime is the backend and our job is layout.
+
+Multi-host launch: call ``jax.distributed.initialize()`` before
+``make_mesh()`` (no-op single-host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch/clip) axis over 'data', replicate rest."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    """Pad the leading axis up to a multiple (uneven final batches must
+    still shard evenly); returns (padded, original_length)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.repeat(x[-1:], rem, axis=0)
+    return np.concatenate([x, pad], axis=0), n
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place a host array onto the mesh sharded over 'data'."""
+    import jax.numpy as jnp
+    arr = jnp.asarray(x)
+    return jax.device_put(arr, data_sharding(mesh, arr.ndim))

@@ -1,0 +1,95 @@
+"""UCF101 split-1 evaluation driver (BASELINE.json config #4).
+
+Streams test clips, classifies sliding windows with the fused
+two-stream pipeline, and aggregates top-1 clip accuracy.  Per-clip
+failures (corrupt videos) are caught, logged and counted rather than
+aborting the run; a ProgressManifest makes long runs resumable
+(SURVEY.md §5: failure detection / cheap restart)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from video_analytics_tpu.config import PipelineConfig
+from video_analytics_tpu.io.dataset import ClipRecord, ProgressManifest
+from video_analytics_tpu.io.video import VideoReader
+from video_analytics_tpu.models.two_stream import TwoStreamModel
+from video_analytics_tpu.runtime.pipeline import (
+    classify_window, sample_window)
+from video_analytics_tpu.utils.logging import get_logger
+
+log = get_logger("tpuva.eval")
+
+
+@dataclasses.dataclass
+class EvalResult:
+    total: int = 0
+    correct: int = 0
+    failed: int = 0
+
+    @property
+    def top1(self) -> float:
+        return self.correct / max(self.total, 1)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {"total": self.total, "correct": self.correct,
+                "failed": self.failed, "top1": self.top1}
+
+
+def classify_clip_file(path: str, variables, model: TwoStreamModel,
+                       cfg: PipelineConfig,
+                       max_frames: int = 300) -> np.ndarray:
+    """Decode one clip, classify its centre window → class probs."""
+    with VideoReader(path) as r:
+        frames = r.read_all(max_frames=max_frames)
+    # Window must cover flow_stack+1 frames to build one flow stack.
+    win = max(cfg.window, cfg.preprocess.flow_stack + 1)
+    idx = sample_window(len(frames), win)
+    probs = classify_window(frames[idx], variables, model, cfg)
+    return np.asarray(probs)
+
+
+def evaluate(records: Iterable[ClipRecord], variables,
+             model: TwoStreamModel, cfg: PipelineConfig,
+             manifest_path: Optional[str] = None,
+             predictions_path: Optional[str] = None,
+             limit: Optional[int] = None) -> EvalResult:
+    """Top-1 clip accuracy over a record list."""
+    manifest = ProgressManifest(manifest_path) if manifest_path else None
+    result = EvalResult()
+    preds_f = open(predictions_path, "a") if predictions_path else None
+    try:
+        for i, rec in enumerate(records):
+            if limit is not None and i >= limit:
+                break
+            key = rec.path
+            if manifest and manifest.is_done(key):
+                continue
+            try:
+                probs = classify_clip_file(rec.path, variables, model, cfg)
+                pred = int(probs.argmax())
+            except Exception as e:  # corrupt clip: log, count, continue
+                log.warning("clip failed: %s (%s)", rec.path, e)
+                result.failed += 1
+                continue
+            result.total += 1
+            result.correct += int(pred == rec.label)
+            if preds_f:
+                preds_f.write(json.dumps(
+                    {"path": rec.path, "label": rec.label,
+                     "pred": pred}) + "\n")
+            if manifest:
+                manifest.mark_done(key)
+            if (i + 1) % 50 == 0:
+                log.info("evaluated %d clips, top1=%.4f",
+                         result.total, result.top1)
+    finally:
+        if preds_f:
+            preds_f.close()
+    return result

@@ -1,0 +1,115 @@
+"""Fused end-to-end jit pipelines.
+
+Where the reference moves data between script stages through the
+filesystem (frames dir → flow dir → feature files → predictions), here
+each stage is a jit-compiled XLA program and the full classifier is ONE
+program: decoded frames go host→HBM once, and preprocessing, optical
+flow, both CNN streams, temporal pooling and fusion all run on-device
+with flow staying resident in HBM between the flow solver and the
+flow-stream CNN (the key fusion win, SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_analytics_tpu.config import (
+    FarnebackConfig, PipelineConfig, PreprocessConfig, TVL1Config)
+from video_analytics_tpu.flow.farneback import farneback
+from video_analytics_tpu.flow.tvl1 import tvl1
+from video_analytics_tpu.models.two_stream import TwoStreamModel
+from video_analytics_tpu.ops import preprocess as pp
+
+
+def compute_flow(gray_pairs_prev: jax.Array, gray_pairs_next: jax.Array,
+                 cfg: PipelineConfig) -> jax.Array:
+    """(B, H, W) gray pairs → (B, H, W, 2) flow with the configured
+    algorithm."""
+    if cfg.flow_algo == "tvl1":
+        return tvl1(gray_pairs_prev, gray_pairs_next, cfg.tvl1)
+    return farneback(gray_pairs_prev, gray_pairs_next, cfg.farneback)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def flow_from_frames(frames: jax.Array, cfg: PipelineConfig) -> jax.Array:
+    """(T, H, W, 3) uint8 RGB → (T-1, H, W, 2) dense flow at input
+    resolution (the compute-flow CLI surface)."""
+    gray = pp.rgb_to_gray(frames)
+    return compute_flow(gray[:-1], gray[1:], cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def rgb_features(frames: jax.Array, variables,
+                 model, cfg: PreprocessConfig) -> jax.Array:
+    """(T, H, W, 3) uint8 → (T, 512) ResNet-18 penultimate features,
+    preprocess fused with the CNN stem."""
+    x = pp.preprocess_clip(frames, cfg)
+    return model.apply(variables, x, return_features=True)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def flow_features(frames: jax.Array, variables,
+                  model, cfg: PipelineConfig) -> jax.Array:
+    """(T, H, W, 3) uint8 → (N, 512) flow-stream features: gray →
+    crop → flow → stack → CNN, all one program, flow HBM-resident."""
+    x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
+    x = pp.center_crop(x, cfg.preprocess.crop)
+    gray = pp.rgb_to_gray(x)
+    flow = compute_flow(gray[:-1], gray[1:], cfg)
+    stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
+    stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+    return model.apply(variables, stacks, return_features=True)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def classify_window(frames: jax.Array, variables: Dict[str, Any],
+                    model: TwoStreamModel,
+                    cfg: PipelineConfig) -> jax.Array:
+    """One clip window (T, H, W, 3) uint8 → fused class probs (C,).
+
+    The complete two-stream classifier as a single XLA program.
+    """
+    rgb = pp.preprocess_clip(frames, cfg.preprocess)
+    s_logits = model.spatial_logits(variables, rgb)
+
+    x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
+    x = pp.center_crop(x, cfg.preprocess.crop)
+    gray = pp.rgb_to_gray(x)
+    flow = compute_flow(gray[:-1], gray[1:], cfg)
+    stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
+    stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+    t_logits = model.temporal_logits(variables, stacks)
+
+    return model.fuse(s_logits, t_logits)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def classify_batch(windows: jax.Array, variables: Dict[str, Any],
+                   model: TwoStreamModel,
+                   cfg: PipelineConfig) -> jax.Array:
+    """(B, T, H, W, 3) uint8 windows → (B, C) fused probs.  vmap over
+    the batch; shard the leading axis over the mesh 'data' axis to
+    scale (parallel/mesh.py)."""
+    return jax.vmap(
+        lambda w: classify_window(frames=w, variables=variables,
+                                  model=model, cfg=cfg)
+    )(windows)
+
+
+def sample_window(num_frames: int, window: int,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Host-side frame-index sampling: one evenly-spaced (eval) or
+    random (train) window of `window` indices, clamped for short clips."""
+    if num_frames >= window:
+        if rng is None:
+            start = (num_frames - window) // 2
+        else:
+            start = int(rng.integers(0, num_frames - window + 1))
+        return np.arange(start, start + window)
+    # Short clip: repeat last frame.
+    idx = np.arange(window)
+    return np.clip(idx, 0, num_frames - 1)
