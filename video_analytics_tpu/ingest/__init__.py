@@ -1,0 +1,9 @@
+from video_analytics_tpu.ingest.windows import (  # noqa: F401
+    sliding_windows,
+    window_starts,
+)
+from video_analytics_tpu.ingest.prefetch import (  # noqa: F401
+    DevicePrefetcher,
+    decode_worker,
+    prefetch_clips,
+)
