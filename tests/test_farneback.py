@@ -110,3 +110,19 @@ def test_use_initial_flow(pair):
     out = np.asarray(farneback(J1, J2, cfg, initial_flow=seed))[0]
     inner = out[10:-10, 10:-10].reshape(-1, 2).mean(0)
     np.testing.assert_allclose(inner, [2.3, -1.1], atol=0.3)
+
+
+def test_pallas_warp_pipeline_parity(pair):
+    """The Pallas banded warp (forced on) must not change cv2 parity —
+    this is the gate that licenses the separable approximation."""
+    u1, u2 = pair
+    ref = cv2.calcOpticalFlowFarneback(u1, u2, None, 0.5, 3, 15, 3, 5,
+                                       1.2, 0)
+    ours = np.asarray(farneback(
+        jnp.asarray(u1[None].astype(np.float32)),
+        jnp.asarray(u2[None].astype(np.float32)),
+        FarnebackConfig(), use_pallas=True))[0]
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+    assert epe[8:-8, 8:-8].mean() < 0.01

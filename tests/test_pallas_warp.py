@@ -1,0 +1,93 @@
+"""Pallas banded warp kernel tests (interpret mode on CPU; the
+compiled path is exercised on TPU by the bench and the TPU parity
+drives)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_analytics_tpu.ops.kernels import warp_by_flow
+from video_analytics_tpu.ops.pallas.warp import (
+    pallas_warp, warp_fits_vmem, DEFAULT_BAND)
+
+
+def smooth_flow(shape, scale=2.0, seed=0, granularity=32):
+    """Smooth low-frequency flow field — the regime the kernel is
+    exact in (real box-blurred/TV-regularised flow varies on the
+    regulariser's scale: winsize=15 box blur / TV at theta=0.3)."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    b, h, w = shape
+    f = rng.normal(0, scale, (b, h // granularity + 2,
+                              w // granularity + 2, 2)).astype(np.float32)
+    out = np.stack([
+        np.stack([cv2.resize(f[i, ..., c], (w, h),
+                             interpolation=cv2.INTER_CUBIC)
+                  for c in range(2)], axis=-1)
+        for i in range(b)])
+    return out
+
+
+def test_matches_exact_on_smooth_inputs(rng):
+    """Band-limited image + smooth flow — the kernel's operating
+    regime (Farneback warps smooth poly-coefficient planes by
+    box-blurred flow; TV-L1 warps blurred pyramid levels by
+    TV-regularised flow).  White-noise images are NOT the contract:
+    the separable pass composes per-axis samples, which only agrees
+    with the exact 2D gather on locally-coherent content — the
+    end-to-end cv2-parity tests in test_farneback.py gate the real
+    pipeline effect (relL2 unchanged at 1e-2)."""
+    from tests.fixtures import smooth_image
+    imgs = np.stack([smooth_image(rng, 48, 64, pad=0) for _ in range(2)])
+    img = jnp.asarray(np.repeat(imgs[..., None], 5, axis=-1))
+    flow = jnp.asarray(smooth_flow((2, 48, 64), scale=3.0))
+    ours = np.asarray(pallas_warp(img, flow, r=12))
+    ref = np.asarray(warp_by_flow(img, flow))
+    # Approximation error scales with flow-gradient x band x image-
+    # gradient; on this fixture it must stay ~1% of the 255 dynamic
+    # range (the pipeline-level gate is cv2 parity in test_farneback).
+    assert np.abs(ours - ref).mean() < 2.5, np.abs(ours - ref).mean()
+    assert np.percentile(np.abs(ours - ref), 99) < 25.0
+
+
+def test_exact_on_constant_flow(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (1, 40, 48, 3)).astype(np.float32))
+    flow = jnp.full((1, 40, 48, 2), 2.6, jnp.float32)
+    ours = np.asarray(pallas_warp(img, flow, r=8))
+    ref = np.asarray(warp_by_flow(img, flow))
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_zero_flow_is_identity(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (1, 32, 40, 2)).astype(np.float32))
+    flow = jnp.zeros((1, 32, 40, 2))
+    out = np.asarray(pallas_warp(img, flow, r=4))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-4)
+
+
+def test_border_clamp(rng):
+    """Large uniform flow pushes samples off the image: replicate
+    border semantics must match the exact path."""
+    img = jnp.asarray(rng.uniform(0, 255, (1, 32, 40, 1)).astype(np.float32))
+    flow = jnp.full((1, 32, 40, 2), 100.0, jnp.float32)
+    ours = np.asarray(pallas_warp(img, flow, r=16))
+    # All samples clamp to the bottom-right pixel... within the band
+    # the kernel clamps offsets, then coordinate clamping applies; the
+    # far corner value is correct for the bottom-right region.
+    assert np.isfinite(ours).all()
+    np.testing.assert_allclose(ours[0, -1, -1, 0],
+                               np.asarray(img)[0, -1, -1, 0], atol=1e-4)
+
+
+def test_band_clamps_not_nan(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (1, 24, 32, 1)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 50, (1, 24, 32, 2)).astype(np.float32))
+    out = np.asarray(pallas_warp(img, flow, r=4))
+    assert np.isfinite(out).all()
+
+
+def test_warp_fits_vmem():
+    assert warp_fits_vmem(224, 224, 5)
+    assert warp_fits_vmem(240, 320, 3)
+    assert not warp_fits_vmem(1080, 1920, 5)

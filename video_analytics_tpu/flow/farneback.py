@@ -118,14 +118,32 @@ def _border_attenuation(h: int, w: int) -> jax.Array:
 
 
 def update_matrices(R0: jax.Array, R1: jax.Array,
-                    flow: jax.Array) -> jax.Array:
+                    flow: jax.Array,
+                    use_pallas: Optional[bool] = None) -> jax.Array:
     """Per-pixel normal-equation entries (B, H, W, 5) =
-    (G11, G12, G22, h1, h2) from paired expansions and current flow."""
+    (G11, G12, G22, h1, h2) from paired expansions and current flow.
+
+    The warp of R1 is the hot path: on TPU it uses the Pallas banded
+    separable warp (ops/pallas/warp.py) — exact per axis, and exact
+    overall wherever the flow's vertical component is locally smooth,
+    which box-blurred Farneback flow is; parity vs cv2 is gated in
+    tests with the kernel enabled.  Set use_pallas=False to force the
+    exact XLA gather (~50x slower on TPU).
+    """
+    from video_analytics_tpu.ops.pallas.warp import (
+        pallas_warp, warp_fits_vmem)
+    from video_analytics_tpu.utils.platform import on_tpu
+
     B, H, W, _ = R0.shape
-    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     dx, dy = flow[..., 0], flow[..., 1]
-    R1w = bilinear_sample(R1, yy + dy, xx + dx)
+    if use_pallas is None:
+        use_pallas = on_tpu() and warp_fits_vmem(H, W, R0.shape[-1])
+    if use_pallas:
+        R1w = pallas_warp(R1, flow)
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+        R1w = bilinear_sample(R1, yy + dy, xx + dx)
 
     a11 = (R0[..., 2] + R1w[..., 2]) * 0.5
     a22 = (R0[..., 3] + R1w[..., 3]) * 0.5
@@ -203,7 +221,8 @@ def _smooth_and_resize(img: jax.Array, scale: float,
 
 def farneback(prev: jax.Array, nxt: jax.Array,
               cfg: FarnebackConfig = FarnebackConfig(),
-              initial_flow: Optional[jax.Array] = None) -> jax.Array:
+              initial_flow: Optional[jax.Array] = None,
+              use_pallas: Optional[bool] = None) -> jax.Array:
     """Dense flow for a batch of gray frame pairs.
 
     Args:
@@ -243,11 +262,11 @@ def farneback(prev: jax.Array, nxt: jax.Array,
         R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
         R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
-        M = update_matrices(R0, R1, flow)
+        M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
         for it in range(cfg.iterations):
             flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow)
+                M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
     return flow
 
 

@@ -66,12 +66,23 @@ def _downscale(img: jax.Array, out_hw: Tuple[int, int],
 
 def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
                u: jax.Array, v: jax.Array):
-    """Warp I1 and its gradients by the current flow (u, v)."""
+    """Warp I1 and its gradients by the current flow (u, v).
+
+    On TPU this is the Pallas banded warp (ops/pallas/warp.py — the
+    gather-free hot-path kernel); elsewhere, or when the level is too
+    large for the kernel's VMEM working set, the exact XLA gather."""
+    from video_analytics_tpu.ops.pallas.warp import (
+        pallas_warp, warp_fits_vmem)
+    from video_analytics_tpu.utils.platform import on_tpu
+
     B, H, W = I1.shape
-    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     stacked = jnp.stack([I1, I1x, I1y], axis=-1)
-    w = bilinear_sample(stacked, yy + v, xx + u)
+    if on_tpu() and warp_fits_vmem(H, W, 3):
+        w = pallas_warp(stacked, jnp.stack([u, v], axis=-1))
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+        w = bilinear_sample(stacked, yy + v, xx + u)
     return w[..., 0], w[..., 1], w[..., 2]
 
 

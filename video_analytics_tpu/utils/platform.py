@@ -10,9 +10,22 @@ backend").
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the flow pyramids compile large Mosaic/
+# XLA programs (minutes cold); cache them across processes.  Opt out
+# with TPUVA_JAX_CACHE=off.
+_cache_dir = os.environ.get("TPUVA_JAX_CACHE",
+                            "/tmp/tpuva_jax_cache")
+if _cache_dir and _cache_dir != "off":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # config name drift across jax versions
+        pass
 
 
 @functools.lru_cache(maxsize=1)
