@@ -1,0 +1,70 @@
+"""Train driver test: a tiny fine-tune run over a synthetic 2-class
+dataset through the real CLI path (sharded over the fake 8-device
+mesh), checkpoint written and loadable."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import moving_square_frames
+from video_analytics_tpu.cli.main import main
+from video_analytics_tpu.io.video import synthesize_video
+
+
+@pytest.fixture(scope="module")
+def mini_ucf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("miniucf")
+    videos = root / "videos"
+    ann = root / "ann"
+    ann.mkdir()
+    (ann / "classInd.txt").write_text("1 Left\n2 Right\n")
+    lines = []
+    for ci, cname in enumerate(["Left", "Right"]):
+        d = videos / cname
+        d.mkdir(parents=True)
+        for j in range(2):
+            step = (2, 0) if cname == "Right" else (-2, 0)
+            frames = moving_square_frames(num=6, h=120, w=160, step=(abs(step[0]), 0))
+            p = d / f"v_{cname}_g0{j}_c01.avi"
+            synthesize_video(str(p), frames, fps=6)
+            lines.append(f"{cname}/{p.name} {ci + 1}")
+    (ann / "trainlist01.txt").write_text("\n".join(lines) + "\n")
+    (ann / "testlist01.txt").write_text(
+        "\n".join(line.split()[0] for line in lines) + "\n")
+    return str(videos), str(ann)
+
+
+def test_train_two_steps_writes_checkpoint(tmp_path, mini_ucf, capsys):
+    videos, ann = mini_ucf
+    out = str(tmp_path / "ckpt.msgpack")
+    rc = main(["train", "--videos", videos, "--annotations", ann,
+               "--out", out, "--num-classes", "2", "--batch", "4",
+               "--steps", "2", "--log-every", "1"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] == 2 and os.path.exists(out)
+    assert np.isfinite(res["final_loss"])
+
+    # The checkpoint must load back into a fresh model.
+    import jax
+    from video_analytics_tpu.models.resnet import resnet18, init_resnet
+    from video_analytics_tpu.runtime.checkpoint import load_variables
+    model = resnet18(num_classes=2)
+    template = init_resnet(model, jax.random.PRNGKey(9))
+    restored = load_variables(out, template)
+    assert "params" in restored and "batch_stats" in restored
+
+
+def test_eval_ucf101_cli_runs(tmp_path, mini_ucf, capsys):
+    videos, ann = mini_ucf
+    rc = main(["eval-ucf101", "--videos", videos, "--annotations", ann,
+               "--num-classes", "2", "--algo", "farneback",
+               "--limit", "2",
+               "--predictions", str(tmp_path / "preds.jsonl")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 2 and 0.0 <= res["top1"] <= 1.0
+    preds = [json.loads(l) for l in open(tmp_path / "preds.jsonl")]
+    assert len(preds) == 2

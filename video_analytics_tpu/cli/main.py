@@ -203,6 +203,86 @@ def cmd_eval_ucf101(args) -> int:
     return 0
 
 
+
+
+# ---------------------------------------------------------------------------
+# train (fine-tune a stream on UCF101 windows)
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from video_analytics_tpu.config import PipelineConfig
+    from video_analytics_tpu.io.dataset import UCF101
+    from video_analytics_tpu.io.video import VideoReader
+    from video_analytics_tpu.models.resnet import resnet18, init_resnet
+    from video_analytics_tpu.ops import preprocess as pp
+    from video_analytics_tpu.parallel.mesh import make_mesh
+    from video_analytics_tpu.runtime.checkpoint import (
+        load_variables, save_variables)
+    from video_analytics_tpu.runtime.train import (
+        create_train_state, make_train_step, shard_train_inputs)
+    from video_analytics_tpu.utils.logging import get_logger
+    import numpy as np
+
+    log = get_logger("tpuva.train")
+    cfg = PipelineConfig()
+    ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
+                split=args.split)
+    records = ds.train_records()
+    model = resnet18(num_classes=args.num_classes)
+    variables = init_resnet(model, jax.random.PRNGKey(args.seed))
+    if args.init_checkpoint:
+        variables = load_variables(args.init_checkpoint, variables)
+    tx = optax.sgd(args.lr, momentum=0.9)
+    state = create_train_state(model, variables, tx)
+    step_fn = make_train_step(model, tx)
+    mesh = make_mesh()
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    pre = cfg.preprocess.__class__(random_crop=True, random_flip=True)
+    n_done = 0
+    while n_done < args.steps:
+        idx = rng.choice(len(records), size=args.batch, replace=True)
+        xs, ys = [], []
+        for i in idx:
+            rec = records[i]
+            try:
+                with VideoReader(rec.path) as r:
+                    frames = r.read_all(max_frames=64)
+            except Exception as e:
+                log.warning("skip %s (%s)", rec.path, e)
+                continue
+            f = frames[rng.integers(0, len(frames))]
+            key, sub = jax.random.split(key)
+            x = pp.preprocess_clip(jnp.asarray(f[None]), pre, key=sub)[0]
+            xs.append(np.asarray(x))
+            ys.append(rec.label)
+        if not xs:
+            continue
+        # Pad to the mesh's data-axis size (repeated samples slightly
+        # overweight; acceptable for fine-tuning).
+        from video_analytics_tpu.parallel.mesh import pad_to_multiple
+        ddim = mesh.devices.shape[0]
+        x_np, _ = pad_to_multiple(np.stack(xs), ddim)
+        y_np, _ = pad_to_multiple(np.asarray(ys), ddim)
+        x = jnp.asarray(x_np)
+        y = jnp.asarray(y_np)
+        state, xs_d, ys_d = shard_train_inputs(mesh, state, x, y)
+        state, metrics = step_fn(state, xs_d, ys_d)
+        n_done += 1
+        if n_done % args.log_every == 0:
+            log.info("step %d loss %.4f acc %.3f", n_done,
+                     float(metrics["loss"]), float(metrics["accuracy"]))
+    save_variables(args.out, {"params": state.params,
+                              "batch_stats": state.batch_stats})
+    print(json.dumps({"steps": n_done, "checkpoint": args.out,
+                      "final_loss": float(metrics["loss"])}))
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # parser plumbing
 # ---------------------------------------------------------------------------
@@ -269,6 +349,20 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--predictions", default=None)
     ev.add_argument("--limit", type=int, default=None)
     ev.set_defaults(fn=cmd_eval_ucf101)
+
+    tr = sub.add_parser("train", help="fine-tune the spatial stream on UCF101")
+    tr.add_argument("--videos", required=True)
+    tr.add_argument("--annotations", required=True)
+    tr.add_argument("--out", required=True, help="checkpoint output path")
+    tr.add_argument("--split", type=int, default=1)
+    tr.add_argument("--num-classes", type=int, default=101)
+    tr.add_argument("--batch", type=int, default=32)
+    tr.add_argument("--steps", type=int, default=1000)
+    tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--init-checkpoint", default=None)
+    tr.add_argument("--log-every", type=int, default=20)
+    tr.set_defaults(fn=cmd_train)
     return p
 
 
