@@ -1,0 +1,55 @@
+"""Auxiliary subsystem tests: profiling timer, flow visualization,
+multi-window classification averaging."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_analytics_tpu.io.flowio import flow_to_color
+from video_analytics_tpu.runtime.profiling import StageTimer
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        x = sum(range(1000))
+    with t.stage("a"):
+        pass
+    with t.stage("b", fence=jnp.ones(4)):
+        pass
+    rep = t.report()
+    assert rep["a"]["count"] == 2 and rep["b"]["count"] == 1
+    assert rep["a"]["total_s"] >= 0
+
+
+def test_flow_to_color():
+    flow = np.zeros((16, 20, 2), np.float32)
+    flow[:8, :, 0] = 5.0    # rightward motion top half
+    flow[8:, :, 1] = -5.0   # upward motion bottom half
+    img = flow_to_color(flow)
+    assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+    # Different directions → different hues.
+    assert not np.array_equal(img[2, 2], img[12, 2])
+
+
+def test_multiwindow_average(tmp_path):
+    """classify_clip_file with N windows averages probabilities."""
+    import jax
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.config import (
+        FarnebackConfig, PipelineConfig)
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import classify_clip_file
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=0, iterations=1),
+                         window=12)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "c.mp4")
+    synthesize_video(path, moving_square_frames(30, 120, 160), fps=10)
+    p1 = classify_clip_file(path, variables, model, cfg, num_windows=1)
+    p3 = classify_clip_file(path, variables, model, cfg, num_windows=3)
+    assert p1.shape == p3.shape == (3,)
+    np.testing.assert_allclose(p3.sum(), 1.0, atol=1e-5)
+    assert not np.allclose(p1, p3)  # different snippets contribute

@@ -170,7 +170,8 @@ def cmd_classify_clip(args) -> int:
         for name, idx in ci.items():
             classes[idx] = name
 
-    probs = classify_clip_file(args.video, variables, model, cfg)
+    probs = classify_clip_file(args.video, variables, model, cfg,
+                               num_windows=args.windows)
     topk = np.argsort(probs)[::-1][:args.topk]
     result = {"video": args.video,
               "top1": int(topk[0]),
@@ -198,7 +199,7 @@ def cmd_eval_ucf101(args) -> int:
     result = evaluate(ds.test_records(), variables, model, cfg,
                       manifest_path=args.manifest,
                       predictions_path=args.predictions,
-                      limit=args.limit)
+                      limit=args.limit, num_windows=args.windows)
     print(json.dumps(result.as_dict()))
     return 0
 
@@ -335,6 +336,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="UCF101 classInd.txt for names")
     cc.add_argument("--num-classes", type=int, default=101)
     cc.add_argument("--topk", type=int, default=5)
+    cc.add_argument("--windows", type=int, default=1)
     cc.set_defaults(fn=cmd_classify_clip)
 
     ev = sub.add_parser("eval-ucf101", help="UCF101 split eval")
@@ -348,6 +350,8 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--manifest", default=None)
     ev.add_argument("--predictions", default=None)
     ev.add_argument("--limit", type=int, default=None)
+    ev.add_argument("--windows", type=int, default=1,
+                    help="snippets per clip, probs averaged")
     ev.set_defaults(fn=cmd_eval_ucf101)
 
     tr = sub.add_parser("train", help="fine-tune the spatial stream on UCF101")

@@ -49,3 +49,19 @@ def flow_pair_paths(out_dir: str, index: int) -> Tuple[str, str]:
     """Storage convention for quantized flow: flow_x/flow_y JPEG pairs."""
     return (os.path.join(out_dir, f"flow_x_{index:06d}.jpg"),
             os.path.join(out_dir, f"flow_y_{index:06d}.jpg"))
+
+
+def flow_to_color(flow: np.ndarray,
+                  max_mag: float = None) -> np.ndarray:
+    """(H, W, 2) flow → (H, W, 3) uint8 RGB via the standard HSV wheel
+    (hue=direction, value=magnitude) — for debugging/demo output."""
+    import cv2
+    fx, fy = flow[..., 0], flow[..., 1]
+    mag, ang = cv2.cartToPolar(fx.astype(np.float32), fy.astype(np.float32))
+    if max_mag is None:
+        max_mag = max(float(mag.max()), 1e-6)
+    hsv = np.zeros((*flow.shape[:2], 3), np.uint8)
+    hsv[..., 0] = (ang * 180 / np.pi / 2).astype(np.uint8)
+    hsv[..., 1] = 255
+    hsv[..., 2] = np.clip(mag / max_mag * 255, 0, 255).astype(np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)

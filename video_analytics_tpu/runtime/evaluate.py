@@ -44,22 +44,39 @@ class EvalResult:
 
 def classify_clip_file(path: str, variables, model: TwoStreamModel,
                        cfg: PipelineConfig,
-                       max_frames: int = 300) -> np.ndarray:
-    """Decode one clip, classify its centre window → class probs."""
+                       max_frames: int = 300,
+                       num_windows: int = 1) -> np.ndarray:
+    """Decode one clip, classify → class probs.
+
+    num_windows=1: the centre window (fast smoke/eval).
+    num_windows=N: N evenly-spaced windows, probabilities averaged —
+    the classic two-stream multi-snippet protocol (temporal pooling is
+    associative, so window probs reduce exactly via a running mean).
+    """
     with VideoReader(path) as r:
         frames = r.read_all(max_frames=max_frames)
     # Window must cover flow_stack+1 frames to build one flow stack.
     win = max(cfg.window, cfg.preprocess.flow_stack + 1)
-    idx = sample_window(len(frames), win)
-    probs = classify_window(frames[idx], variables, model, cfg)
-    return np.asarray(probs)
+    t = len(frames)
+    if num_windows <= 1 or t <= win:
+        idx = sample_window(t, win)
+        return np.asarray(classify_window(frames[idx], variables,
+                                          model, cfg))
+    starts = np.linspace(0, t - win, num_windows).astype(int)
+    acc = None
+    for s in starts:
+        p = np.asarray(classify_window(frames[s:s + win], variables,
+                                       model, cfg))
+        acc = p if acc is None else acc + p
+    return acc / len(starts)
 
 
 def evaluate(records: Iterable[ClipRecord], variables,
              model: TwoStreamModel, cfg: PipelineConfig,
              manifest_path: Optional[str] = None,
              predictions_path: Optional[str] = None,
-             limit: Optional[int] = None) -> EvalResult:
+             limit: Optional[int] = None,
+             num_windows: int = 1) -> EvalResult:
     """Top-1 clip accuracy over a record list."""
     manifest = ProgressManifest(manifest_path) if manifest_path else None
     result = EvalResult()
@@ -72,7 +89,8 @@ def evaluate(records: Iterable[ClipRecord], variables,
             if manifest and manifest.is_done(key):
                 continue
             try:
-                probs = classify_clip_file(rec.path, variables, model, cfg)
+                probs = classify_clip_file(rec.path, variables, model, cfg,
+                                           num_windows=num_windows)
                 pred = int(probs.argmax())
             except Exception as e:  # corrupt clip: log, count, continue
                 log.warning("clip failed: %s (%s)", rec.path, e)
