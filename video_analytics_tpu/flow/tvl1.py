@@ -155,7 +155,8 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
 
 def tvl1(prev: jax.Array, nxt: jax.Array,
          cfg: TVL1Config = TVL1Config(),
-         initial_flow: Optional[jax.Array] = None) -> jax.Array:
+         initial_flow: Optional[jax.Array] = None,
+         use_pallas: Optional[bool] = None) -> jax.Array:
     """Dense TV-L1 flow for a batch of gray frame pairs.
 
     Args:
@@ -196,10 +197,26 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
             v = resize_area_like(v, (lh, lw)) * (1.0 / cfg.scale_step)
 
         I1x, I1y = centered_gradient(I1)
+        # On TPU the whole per-warp solver runs as one VMEM-resident
+        # Pallas kernel (ops/pallas/tvl1_solve.py, ~30x less HBM
+        # traffic); otherwise the XLA while-loop reference.
+        from video_analytics_tpu.ops.pallas.tvl1_solve import (
+            solver_fits_vmem, tvl1_solve_warp)
+        from video_analytics_tpu.utils.platform import on_tpu
+        fused = (use_pallas if use_pallas is not None
+                 else on_tpu()) and solver_fits_vmem(
+                     lh, lw, cfg.median_filtering)
         for _ in range(cfg.warps):
             u0, v0 = u, v
             I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0)
-            u, v = _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg)
+            if fused:
+                grad = I1wx * I1wx + I1wy * I1wy
+                rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
+                u, v = tvl1_solve_warp(I1wx, I1wy, grad, rho_c,
+                                       u, v, cfg)
+            else:
+                u, v = _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v,
+                                   cfg)
         if cfg.median_filtering > 1:
             u = median_filter2d(u, cfg.median_filtering)
             v = median_filter2d(v, cfg.median_filtering)
