@@ -1,0 +1,74 @@
+"""Fused Farneback Pallas kernels vs the XLA reference stages
+(interpret mode; compiled path exercised by the TPU bench)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from tests.fixtures import smooth_pair
+from video_analytics_tpu.config import FarnebackConfig
+from video_analytics_tpu.flow.farneback import (
+    farneback, poly_expansion, update_matrices, _blur_M, _solve_flow)
+from video_analytics_tpu.ops.pallas.farneback_kernels import (
+    farneback_stage_fits_vmem, poly_expansion_pallas, update_flow_pallas)
+
+
+def test_poly_expansion_matches(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (2, 48, 64)).astype(np.float32))
+    a = np.asarray(poly_expansion(img, 5, 1.2))
+    b = np.asarray(poly_expansion_pallas(img, 5, 1.2))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_poly_expansion_n7(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (1, 40, 48)).astype(np.float32))
+    a = np.asarray(poly_expansion(img, 7, 1.5))
+    b = np.asarray(poly_expansion_pallas(img, 7, 1.5))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def _realistic_M(rng, h=48, w=64):
+    f1, f2 = smooth_pair(rng, h, w, dx=1.0, dy=0.5)
+    R0 = poly_expansion(jnp.asarray(f1[None]), 5, 1.2)
+    R1 = poly_expansion(jnp.asarray(f2[None]), 5, 1.2)
+    return update_matrices(R0, R1, jnp.zeros((1, h, w, 2)),
+                           use_pallas=False)
+
+
+def test_update_flow_matches(rng):
+    M = _realistic_M(rng)
+    cfg = FarnebackConfig()
+    a = np.asarray(_solve_flow(_blur_M(M, cfg)))
+    b = np.asarray(update_flow_pallas(M, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_update_flow_gaussian_window(rng):
+    M = _realistic_M(rng)
+    cfg = FarnebackConfig(gaussian_window=True)
+    a = np.asarray(_solve_flow(_blur_M(M, cfg)))
+    b = np.asarray(update_flow_pallas(M, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_all_pallas_cv2_parity(rng):
+    """End-to-end farneback with every Pallas kernel forced on keeps
+    cv2 parity (same gate as the XLA path)."""
+    f1, f2 = smooth_pair(rng, 96, 128, dx=2.3, dy=-1.1)
+    u1, u2 = f1.astype(np.uint8), f2.astype(np.uint8)
+    ref = cv2.calcOpticalFlowFarneback(u1, u2, None, 0.5, 3, 15, 3, 5,
+                                       1.2, 0)
+    ours = np.asarray(farneback(
+        jnp.asarray(u1[None].astype(np.float32)),
+        jnp.asarray(u2[None].astype(np.float32)),
+        FarnebackConfig(), use_pallas=True))[0]
+    epe = np.linalg.norm(ours - ref, axis=-1)
+    rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+    assert epe[8:-8, 8:-8].mean() < 0.01
+
+
+def test_fits_vmem():
+    assert farneback_stage_fits_vmem(224, 224)
+    assert farneback_stage_fits_vmem(240, 320)
+    assert not farneback_stage_fits_vmem(1080, 1920)

@@ -259,12 +259,28 @@ def farneback(prev: jax.Array, nxt: jax.Array,
             flow = jax.image.resize(flow, (B, lh, lw, 2), method="linear",
                                     antialias=False) * (1.0 / cfg.pyr_scale)
 
-        R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
-        R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
+        # On TPU the three per-level stages run as fused Pallas
+        # kernels (ops/pallas/): single-read poly expansion, banded
+        # warp inside update_matrices, and window-average+solve.
+        from video_analytics_tpu.ops.pallas.farneback_kernels import (
+            farneback_stage_fits_vmem, poly_expansion_pallas,
+            update_flow_pallas)
+        from video_analytics_tpu.utils.platform import on_tpu
+        fused = (use_pallas if use_pallas is not None else on_tpu()) \
+            and farneback_stage_fits_vmem(lh, lw)
+        if fused:
+            R0 = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma)
+            R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma)
+        else:
+            R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
+            R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
         M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
         for it in range(cfg.iterations):
-            flow = _solve_flow(_blur_M(M, cfg))
+            if fused:
+                flow = update_flow_pallas(M, cfg)
+            else:
+                flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
                 M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
     return flow

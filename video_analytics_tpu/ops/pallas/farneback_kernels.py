@@ -1,0 +1,152 @@
+"""Pallas TPU kernels for Farneback's remaining hot stages.
+
+After the warp kernel, profiling shows the polynomial expansion and the
+window-average+solve stage dominating: both are separable correlations
+that XLA evaluates as HBM-streaming shift-adds (each tap re-reads the
+array), far off speed-of-light.  Both reduce to ONE generic kernel:
+
+``_sep_corr_kernel`` — a banded weighted sum along the sublane axis:
+the input channels are written once into a replicate-padded VMEM
+scratch, and each output channel is a statically-unrolled tap
+accumulation over static slices of that scratch (two live arrays, no
+masks, no dynamic slicing).  A 2D separable correlation is two calls
+with an XLA transpose between — the same decomposition as the warp
+kernel, chosen for Mosaic-compile speed and bounded VMEM liveness
+(a first fused attempt kept ~150 masked temporaries live and OOM'd
+scoped VMEM at 224²).
+
+- ``poly_expansion_pallas`` (SURVEY.md §2b #2): vertical pass computes
+  the (g, xg, xxg) basis correlations; horizontal pass the six basis
+  products; the inverse-Gramian combine is XLA elementwise (it fuses).
+- ``update_flow_pallas`` (#3): winsize box/Gaussian window average of
+  the five normal-equation planes per axis; the 2x2 solve is XLA
+  elementwise.
+
+Replicate borders throughout (matching ops.kernels.sepcorr, which the
+cv2-parity suite gates); both paths are compared against the XLA
+reference in tests/test_pallas_farneback.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_analytics_tpu.config import FarnebackConfig
+from video_analytics_tpu.ops.kernels import gaussian_kernel_1d
+from video_analytics_tpu.utils.platform import pallas_interpret
+
+# A "plan" is a tuple of (input_channel, taps) per output channel.
+Plan = Tuple[Tuple[int, Tuple[float, ...]], ...]
+
+
+def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
+    """x (Cin, N, M) → out (Cout, N, M): out[o] = corr(x[cin_o],
+    taps_o) along the sublane axis, replicate border."""
+    Cin, N, M = x_ref.shape
+    x = x_ref[:]
+    pad_ref[:, r:r + N, :] = x
+    pad_ref[:, :r, :] = jnp.broadcast_to(x[:, :1, :], (Cin, r, M))
+    pad_ref[:, r + N:, :] = jnp.broadcast_to(x[:, N - 1:, :],
+                                             (Cin, r, M))
+    for o, (cin, taps) in enumerate(plan):
+        acc = None
+        for i, w in enumerate(taps):
+            sl = pad_ref[cin, i:i + N, :]
+            term = float(w) * sl
+            acc = term if acc is None else acc + term
+        out_ref[o] = acc
+
+
+def _sep_corr_axis(x: jax.Array, plan: Plan) -> jax.Array:
+    """(B, Cin, N, M) → (B, Cout, N, M), correlation along axis 2."""
+    B, Cin, N, M = x.shape
+    r = max(len(t) for _, t in plan) // 2
+    cout = len(plan)
+    return pl.pallas_call(
+        functools.partial(_sep_corr_kernel, plan=plan, r=r),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, Cin, N, M), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, cout, N, M),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, cout, N, M), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Cin, N + 2 * r, M), jnp.float32)],
+        interpret=pallas_interpret(),
+    )(x.astype(jnp.float32))
+
+
+def sep_corr2d_pallas(x: jax.Array, v_plan: Plan,
+                      h_plan: Plan) -> jax.Array:
+    """(B, Cin, H, W): vertical pass with v_plan, then horizontal pass
+    (via transpose) with h_plan → (B, Cout, H, W)."""
+    v = _sep_corr_axis(x, v_plan)                       # (B, Cv, H, W)
+    vT = v.transpose(0, 1, 3, 2)                        # (B, Cv, W, H)
+    hT = _sep_corr_axis(vT, h_plan)                     # (B, Co, W, H)
+    return hT.transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Polynomial expansion
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "sigma"))
+def poly_expansion_pallas(img: jax.Array, n: int,
+                          sigma: float) -> jax.Array:
+    """(B, H, W) → (B, H, W, 5) poly coefficients; two VMEM passes.
+    Matches flow.farneback.poly_expansion numerically."""
+    from video_analytics_tpu.flow.farneback import _poly_exp_setup
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_setup(n, sigma)
+    g, xg, xxg = tuple(map(float, g)), tuple(map(float, xg)), \
+        tuple(map(float, xxg))
+    # Vertical: (vg, vx, vxx); horizontal combos:
+    # s1=vg·g sx=vg·xg sxx=vg·xxg sy=vx·g sxy=vx·xg syy=vxx·g
+    v_plan = ((0, g), (0, xg), (0, xxg))
+    h_plan = ((0, g), (0, xg), (0, xxg), (1, g), (1, xg), (2, g))
+    s = sep_corr2d_pallas(img[:, None], v_plan, h_plan)
+    s1, sx, sxx, sy, sxy, syy = (s[:, i] for i in range(6))
+    bx = sx * ig11
+    by = sy * ig11
+    cxx = s1 * ig03 + sxx * ig33
+    cyy = s1 * ig03 + syy * ig33
+    cxy = sxy * ig55
+    return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Window average + 2x2 solve
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_flow_pallas(M: jax.Array,
+                       cfg: FarnebackConfig) -> jax.Array:
+    """(B, H, W, 5) normal-equation planes → (B, H, W, 2) flow: window
+    average in VMEM per axis, 2x2 solve fused by XLA.  Matches
+    _solve_flow(_blur_M(M)) numerically."""
+    if cfg.gaussian_window:
+        m = cfg.winsize // 2
+        taps = tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
+    else:
+        taps = tuple([1.0 / cfg.winsize] * cfg.winsize)
+    Mcf = M.astype(jnp.float32).transpose(0, 3, 1, 2)   # (B, 5, H, W)
+    plan = tuple((c, taps) for c in range(5))
+    blurred = sep_corr2d_pallas(Mcf, plan, plan)
+    g11, g12, g22, h1, h2 = (blurred[:, i] for i in range(5))
+    det = g11 * g22 - g12 * g12
+    idet = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def farneback_stage_fits_vmem(h: int, w: int) -> bool:
+    """Per-axis working set: 6-channel in/out blocks + padded scratch."""
+    n = max(h, w)
+    return (6 * 3 + 2) * n * max(h, w) * 4 < 13 * 1024 * 1024
