@@ -1,0 +1,159 @@
+"""SpyNet-style learned optical flow (Ranjan & Black 2017; see
+PAPERS.md — retrieved as the TPU-friendly direction for flow).
+
+Why this exists alongside the classical solvers: Farneback/TV-L1 are
+iterative VPU/elementwise programs, but a *learned* pyramid flow
+network is almost pure convolution — it runs on the MXU at bf16 and
+needs no data-dependent iteration, making it the natural TPU-first
+flow family (the same coarse-to-fine + warp structure, with the
+per-level solver replaced by a 5-layer CNN).  Each level k predicts a
+residual flow from (I0_k, warp(I1_k, up(flow)), up(flow)); the warp
+reuses the Pallas banded-warp kernel on TPU.
+
+This is a model family + training capability (synthetic-motion
+supervision below); it is intentionally not the default `flow_algo`
+until trained weights exist — the classical solvers carry the parity
+story.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_analytics_tpu.ops.kernels import resize_area_like, warp_by_flow
+
+
+class SpyNetLevel(nn.Module):
+    """One pyramid level: 4-channel input (I0, I1w, u, v) → residual
+    flow.  7x7 convs, bf16-compute friendly."""
+
+    features: Tuple[int, ...] = (32, 64, 32, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Conv(f, (7, 7), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(2, (7, 7), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_out")(x)
+        return x.astype(jnp.float32)
+
+
+class SpyNet(nn.Module):
+    """Stack of per-level residual predictors (separate weights per
+    level, coarse→fine, like the original)."""
+
+    levels: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.nets = [SpyNetLevel(dtype=self.dtype, name=f"level{k}")
+                     for k in range(self.levels)]
+
+    def _pyramid(self, img: jax.Array) -> List[jax.Array]:
+        """(B, H, W) → levels, finest first, /2 each (2x2 mean pool)."""
+        pyr = [img]
+        for _ in range(self.levels - 1):
+            b, h, w = pyr[-1].shape
+            pyr.append(resize_area_like(pyr[-1], (h // 2, w // 2)))
+        return pyr
+
+    def __call__(self, prev: jax.Array, nxt: jax.Array,
+                 train_all_levels: bool = False):
+        """(B, H, W) gray in [0,255] → (B, H, W, 2) flow (dx, dy).
+
+        train_all_levels=True also returns the per-level flows for
+        deep supervision.
+        """
+        p0 = self._pyramid(prev.astype(jnp.float32) / 255.0)
+        p1 = self._pyramid(nxt.astype(jnp.float32) / 255.0)
+        flow = None
+        per_level = []
+        for k in range(self.levels - 1, -1, -1):
+            I0, I1 = p0[k], p1[k]
+            b, h, w = I0.shape
+            if flow is None:
+                flow = jnp.zeros((b, h, w, 2), jnp.float32)
+            else:
+                flow = jax.image.resize(flow, (b, h, w, 2),
+                                        method="linear",
+                                        antialias=False) * 2.0
+            I1w = warp_by_flow(I1[..., None], flow)[..., 0]
+            inp = jnp.stack([I0, I1w], axis=-1)
+            inp = jnp.concatenate([inp, flow], axis=-1)
+            flow = flow + self.nets[k](inp)
+            per_level.append(flow)
+        if train_all_levels:
+            return flow, per_level
+        return flow
+
+
+def init_spynet(model: SpyNet, key: jax.Array,
+                input_hw: Tuple[int, int] = (64, 64)):
+    dummy = jnp.zeros((1, *input_hw), jnp.float32)
+    return model.init(key, dummy, dummy)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-motion training (no external data needed)
+# ---------------------------------------------------------------------------
+
+def synthetic_pair(key: jax.Array, batch: int, h: int, w: int):
+    """Random band-limited images + random affine-ish smooth flows;
+    returns (prev, nxt, gt_flow) with nxt ≈ warp of prev."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = jax.random.uniform(k1, (batch, h + 16, w + 16), minval=0.0,
+                              maxval=255.0)
+    from video_analytics_tpu.ops.kernels import gaussian_blur
+    base = gaussian_blur(base, 2.0)
+    prev = base[:, 8:8 + h, 8:8 + w]
+    # Smooth flow: constant translation + small linear term.
+    t = jax.random.uniform(k2, (batch, 1, 1, 2), minval=-3.0, maxval=3.0)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (batch, h, w), 1) / h - 0.5
+    xx = jax.lax.broadcasted_iota(jnp.float32, (batch, h, w), 2) / w - 0.5
+    a = jax.random.uniform(k3, (batch, 1, 1, 2), minval=-1.0, maxval=1.0)
+    gt = t + a * jnp.stack([xx, yy], axis=-1)
+    # Convention (matches farneback/tvl1): prev(p) ≈ nxt(p + flow(p)),
+    # i.e. warp_by_flow(nxt, flow) ≈ prev.  Generating nxt by warping
+    # the base with -gt gives exactly flow = gt as the label.
+    nxt = warp_by_flow(base[..., None], jnp.pad(
+        -gt, [(0, 0), (8, 8), (8, 8), (0, 0)], mode="edge"))[
+        :, 8:8 + h, 8:8 + w, 0]
+    return prev, nxt, gt
+
+
+def make_spynet_train_step(model: SpyNet, tx):
+    """EPE loss with deep supervision over levels."""
+    import optax
+
+    def loss_fn(params, prev, nxt, gt):
+        flow, per_level = model.apply({"params": params}, prev, nxt,
+                                      train_all_levels=True)
+        loss = 0.0
+        for f in per_level:
+            b, h, w, _ = f.shape
+            scale = h / gt.shape[1]
+            gt_k = jax.image.resize(gt, (b, h, w, 2), method="linear",
+                                    antialias=False) * scale
+            loss = loss + jnp.mean(
+                jnp.sqrt(jnp.sum((f - gt_k) ** 2, -1) + 1e-6))
+        epe = jnp.mean(jnp.sqrt(jnp.sum((flow - gt) ** 2, -1) + 1e-8))
+        return loss, epe
+
+    @jax.jit
+    def step(params, opt_state, key):
+        prev, nxt, gt = synthetic_pair(key, 8, 64, 64)
+        (loss, epe), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, prev, nxt, gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, epe
+
+    return step
