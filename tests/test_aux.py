@@ -53,3 +53,37 @@ def test_multiwindow_average(tmp_path):
     assert p1.shape == p3.shape == (3,)
     np.testing.assert_allclose(p3.sum(), 1.0, atol=1e-5)
     assert not np.allclose(p1, p3)  # different snippets contribute
+
+
+def test_evaluate_batched(tmp_path):
+    """Batched+prefetched eval matches the per-clip driver's protocol."""
+    import jax
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import (
+        evaluate, evaluate_batched)
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=0, iterations=1),
+                         window=12)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    records = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.mp4")
+        synthesize_video(p, moving_square_frames(14, 120, 160), fps=10)
+        records.append(ClipRecord(path=p, label=i % 3, class_name=str(i)))
+    # Include one corrupt clip: must be counted as failed, not crash.
+    bad = str(tmp_path / "bad.mp4")
+    open(bad, "wb").write(b"junk")
+    records.append(ClipRecord(path=bad, label=0, class_name="x"))
+
+    r1 = evaluate(records, variables, model, cfg)
+    r2 = evaluate_batched(records, variables, model, cfg,
+                          batch_windows=2)
+    assert r2.total == r1.total == 3
+    assert r2.failed == 1
+    assert r2.correct == r1.correct
