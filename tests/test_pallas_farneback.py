@@ -69,6 +69,7 @@ def test_all_pallas_cv2_parity(rng):
 
 
 def test_fits_vmem():
+    # Row-banding makes all realistic sizes fit.
     assert farneback_stage_fits_vmem(224, 224)
     assert farneback_stage_fits_vmem(240, 320)
-    assert not farneback_stage_fits_vmem(1080, 1920)
+    assert farneback_stage_fits_vmem(1080, 1920)

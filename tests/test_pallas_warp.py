@@ -88,6 +88,25 @@ def test_band_clamps_not_nan(rng):
 
 
 def test_warp_fits_vmem():
+    # Row-banding makes all realistic sizes fit.
     assert warp_fits_vmem(224, 224, 5)
     assert warp_fits_vmem(240, 320, 3)
-    assert not warp_fits_vmem(1080, 1920, 5)
+    assert warp_fits_vmem(1080, 1920, 5)
+
+
+def test_banded_path_matches_unbanded(rng):
+    """Force small bands: banded wrapper must equal the single-block
+    kernel exactly."""
+    import video_analytics_tpu.ops.pallas.warp as W
+    from tests.test_pallas_warp import smooth_flow
+    img = jnp.asarray(rng.uniform(0, 255, (1, 64, 56, 3))
+                      .astype(np.float32))
+    fl = jnp.asarray(smooth_flow((1, 64, 56), scale=2.0))
+    ref = np.asarray(W.pallas_warp.__wrapped__(img, fl, 8))
+    orig = W._band_size
+    W._band_size = lambda c, m, r: 24
+    try:
+        banded = np.asarray(W.pallas_warp.__wrapped__(img, fl, 8))
+    finally:
+        W._band_size = orig
+    np.testing.assert_array_equal(ref, banded)

@@ -83,13 +83,42 @@ def _sep_corr_axis(x: jax.Array, plan: Plan) -> jax.Array:
     )(x.astype(jnp.float32))
 
 
+def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
+    """_sep_corr_axis with automatic row-banding + halo for large
+    shapes (same scheme as ops/pallas/warp.py: halo'd blocks, kernel
+    unchanged, halo rows discarded)."""
+    B, Cin, N, M = x.shape
+    r = max(len(t) for _, t in plan) // 2
+    cout = len(plan)
+    # Empirical Mosaic cost model (see ops/pallas/warp._band_size).
+    budget = 14 * 1024 * 1024 // 4
+    mp = -(-M // 128) * 128
+    band = budget // ((3 * (Cin + cout) + 2) * mp) - (2 * r + 8)
+    band = max(8, (band // 8) * 8)
+    if N <= band:
+        return _sep_corr_axis(x, plan)
+    h = r
+    outs = []
+    for s in range(0, N, band):
+        e = min(s + band, N)
+        s0, e0 = max(s - h, 0), min(e + h, N)
+        pad_top, pad_bot = h - (s - s0), h - (e0 - e)
+        blk = x[:, :, s0:e0, :]
+        if pad_top or pad_bot:
+            blk = jnp.pad(blk, [(0, 0), (0, 0), (pad_top, pad_bot),
+                                (0, 0)], mode="edge")
+        out_b = _sep_corr_axis(blk, plan)
+        outs.append(out_b[:, :, h:h + (e - s), :])
+    return jnp.concatenate(outs, axis=2)
+
+
 def sep_corr2d_pallas(x: jax.Array, v_plan: Plan,
                       h_plan: Plan) -> jax.Array:
     """(B, Cin, H, W): vertical pass with v_plan, then horizontal pass
     (via transpose) with h_plan → (B, Cout, H, W)."""
-    v = _sep_corr_axis(x, v_plan)                       # (B, Cv, H, W)
+    v = _sep_corr_axis_any(x, v_plan)                   # (B, Cv, H, W)
     vT = v.transpose(0, 1, 3, 2)                        # (B, Cv, W, H)
-    hT = _sep_corr_axis(vT, h_plan)                     # (B, Co, W, H)
+    hT = _sep_corr_axis_any(vT, h_plan)                 # (B, Co, W, H)
     return hT.transpose(0, 1, 3, 2)
 
 
@@ -147,6 +176,7 @@ def update_flow_pallas(M: jax.Array,
 
 
 def farneback_stage_fits_vmem(h: int, w: int) -> bool:
-    """Per-axis working set: 6-channel in/out blocks + padded scratch."""
-    n = max(h, w)
-    return (6 * 3 + 2) * n * max(h, w) * 4 < 13 * 1024 * 1024
+    """Always true since row-banding landed — false only for absurd
+    widths where a single 64-row banded block exceeds VMEM."""
+    m = max(h, w)
+    return 20 * m * 40 * 4 < 13 * 1024 * 1024

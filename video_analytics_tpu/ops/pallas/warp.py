@@ -96,15 +96,71 @@ def _axis_warp(src: jax.Array, off: jax.Array, frac: jax.Array,
     )(src, off, frac)
 
 
+def _band_size(c: int, m: int, r: int) -> int:
+    """Row-band (excl. halo) whose kernel working set fits VMEM, or 0
+    when even the minimum 8-row band overflows (caller then splits
+    channels).  Cost model is empirical from Mosaic scoped-VMEM OOM
+    reports (double-buffered grid blocks, pad scratch, fori
+    accumulators, mask temporaries)."""
+    budget = 14 * 1024 * 1024 // 4          # floats
+    mp = -(-m // 128) * 128                 # lane-padded width
+    # Fitted from Mosaic scoped-VMEM reports at three (c, m) points:
+    # ~13·C·mp for the channelled buffers + ~3·mp for off/frac/masks.
+    per_row = (13 * c + 3) * mp
+    band = budget // per_row - (2 * (r + 8) + 8)
+    if band < 8:
+        return 0
+    return (band // 8) * 8
+
+
+def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
+                   r: int) -> jax.Array:
+    """_axis_warp with automatic row-banding for large shapes: each
+    band is given a (r+8)-row halo (edge-padded at image boundaries);
+    the kernel's own replicate padding then only affects halo rows,
+    which are discarded.  Offsets are relative, so they transfer to
+    band-local coordinates unchanged."""
+    B, C, N, M = src.shape
+    band = _band_size(C, M, r)
+    if band == 0 and C > 1:
+        # Even an 8-row band overflows at this width: gather indices
+        # are shared across channels, so split channels instead.
+        half = C // 2
+        return jnp.concatenate(
+            [_axis_warp_any(src[:, :half], off, frac, r),
+             _axis_warp_any(src[:, half:], off, frac, r)], axis=1)
+    band = max(band, 8)
+    if N <= band:
+        return _axis_warp(src, off, frac, r)
+    h = r + 8
+    outs = []
+    for s in range(0, N, band):
+        e = min(s + band, N)
+        s0, e0 = max(s - h, 0), min(e + h, N)
+        pad_top, pad_bot = h - (s - s0), h - (e0 - e)
+        blk = src[:, :, s0:e0, :]
+        ob = off[:, s0:e0, :]
+        fb = frac[:, s0:e0, :]
+        if pad_top or pad_bot:
+            spec3 = [(0, 0), (0, 0), (pad_top, pad_bot), (0, 0)]
+            spec2 = [(0, 0), (pad_top, pad_bot), (0, 0)]
+            blk = jnp.pad(blk, spec3, mode="edge")
+            ob = jnp.pad(ob, spec2, mode="edge")
+            fb = jnp.pad(fb, spec2, mode="edge")
+        out_b = _axis_warp(blk, ob, fb, r)
+        outs.append(out_b[:, :, h:h + (e - s), :])
+    return jnp.concatenate(outs, axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("r",))
 def pallas_warp(img: jax.Array, flow: jax.Array,
                 r: int = DEFAULT_BAND) -> jax.Array:
     """Bilinear warp of (B, H, W, C) by flow (B, H, W, 2):
     out(p) = img(p + flow(p)), clamped borders, |flow| clamped to ±r.
 
-    Drop-in for ops.kernels.warp_by_flow on the flow hot path.  VMEM
-    bounds the per-image block (see warp_fits_vmem); callers fall back
-    to the exact XLA gather beyond that."""
+    Drop-in for ops.kernels.warp_by_flow on the flow hot path.  Images
+    of any size are handled by row-banding with halos (the per-band
+    working set, not the image, must fit VMEM)."""
     B, H, W, C = img.shape
     r = max(1, min(r, H - 2, W - 2))
     img_cf = img.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, C, H, W)
@@ -120,21 +176,17 @@ def pallas_warp(img: jax.Array, flow: jax.Array,
     dy_off = jnp.clip(y0 - yy, -r, r).astype(jnp.int32)
     dx_off = jnp.clip(x0 - xx, -r, r).astype(jnp.int32)
 
-    mid = _axis_warp(img_cf, dy_off, fy, r)              # rows resolved
+    mid = _axis_warp_any(img_cf, dy_off, fy, r)          # rows resolved
     midT = mid.transpose(0, 1, 3, 2)                     # (B, C, W, H)
-    outT = _axis_warp(midT, dx_off.transpose(0, 2, 1),
-                      fx.transpose(0, 2, 1), r)
+    outT = _axis_warp_any(midT, dx_off.transpose(0, 2, 1),
+                          fx.transpose(0, 2, 1), r)
     return outT.transpose(0, 3, 2, 1)                    # (B, H, W, C)
 
 
 def warp_fits_vmem(h: int, w: int, c: int, r: int = DEFAULT_BAND) -> bool:
-    """Conservative check that the kernel's VMEM working set fits
-    (per-axis pass working set: pad + in/out blocks + accumulators)."""
+    """Always true since row-banding landed — kept for call sites that
+    gate on it (returns False only for absurd widths where even one
+    8-row banded block exceeds VMEM)."""
     r = max(1, min(r, h - 2, w - 2))
-    n = max(h, w)
     m = max(h, w)
-    floats = (c * (n + 2 * r + 16) * m     # pad scratch
-              + 2 * c * n * m              # in/out blocks
-              + 2 * c * n * m              # fori accumulators
-              + 3 * n * m)                 # off/frac/masks
-    return floats * 4 < 13 * 1024 * 1024
+    return (3 * c + 3) * m * (8 + 2 * r + 16) * 4 < 13 * 1024 * 1024
