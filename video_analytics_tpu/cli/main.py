@@ -64,12 +64,27 @@ def cmd_compute_flow(args) -> int:
     if len(frames) < 2:
         print("error: need at least 2 frames for flow", file=sys.stderr)
         return 2
-    cfg = PipelineConfig(flow_algo=args.algo)
     gray = np.asarray(rgb_to_gray(jnp.asarray(frames)))
     os.makedirs(args.out_dir, exist_ok=True)
 
     n_pairs = len(frames) - 1
-    fn = jax.jit(lambda a, b: compute_flow(a, b, cfg))
+    if args.algo == "spynet":
+        # Learned flow: needs trained weights (see models/spynet.py).
+        from video_analytics_tpu.models.spynet import SpyNet, init_spynet
+        from video_analytics_tpu.runtime.checkpoint import load_variables
+        ckpt = args.spynet_checkpoint or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "checkpoints", "spynet_synthetic.msgpack")
+        model = SpyNet(levels=4)
+        template = {"params": init_spynet(
+            model, __import__("jax").random.PRNGKey(0))["params"]}
+        weights = load_variables(ckpt, template)
+        fn = jax.jit(lambda a, b: model.apply(
+            {"params": weights["params"]}, a, b))
+    else:
+        cfg = PipelineConfig(flow_algo=args.algo)
+        fn = jax.jit(lambda a, b: compute_flow(a, b, cfg))
     written = 0
     for s, e in _chunked(n_pairs, args.batch):
         # Pad the final chunk to the batch size → one compiled shape.
@@ -305,8 +320,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="dense optical flow for a clip/frames dir")
     cf.add_argument("src")
     cf.add_argument("out_dir")
-    cf.add_argument("--algo", choices=["tvl1", "farneback"],
+    cf.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
+    cf.add_argument("--spynet-checkpoint", default=None,
+                    help="weights for --algo spynet (default: bundled "
+                         "checkpoints/spynet_synthetic.msgpack)")
     cf.add_argument("--format", choices=["flo", "jpg"], default="flo")
     cf.add_argument("--bound", type=float, default=20.0)
     cf.add_argument("--batch", type=int, default=8)

@@ -72,8 +72,10 @@ class SpyNet(nn.Module):
         train_all_levels=True also returns the per-level flows for
         deep supervision.
         """
-        p0 = self._pyramid(prev.astype(jnp.float32) / 255.0)
-        p1 = self._pyramid(nxt.astype(jnp.float32) / 255.0)
+        # Zero-mean, roughly unit-variance inputs (the /255-only scale
+        # left ~0.06 std on typical content — too weak a signal).
+        p0 = self._pyramid((prev.astype(jnp.float32) / 255.0 - 0.5) * 4.0)
+        p1 = self._pyramid((nxt.astype(jnp.float32) / 255.0 - 0.5) * 4.0)
         flow = None
         per_level = []
         for k in range(self.levels - 1, -1, -1):
@@ -112,7 +114,13 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int):
     base = jax.random.uniform(k1, (batch, h + 16, w + 16), minval=0.0,
                               maxval=255.0)
     from video_analytics_tpu.ops.kernels import gaussian_blur
-    base = gaussian_blur(base, 2.0)
+    # Band-limited texture at ~2 scales (coarse structure survives the
+    # pyramid; fine detail anchors subpixel motion), re-stretched to
+    # full contrast.
+    base = gaussian_blur(base, 1.5) * 0.5 + gaussian_blur(base, 5.0)
+    lo = jnp.min(base, axis=(1, 2), keepdims=True)
+    hi = jnp.max(base, axis=(1, 2), keepdims=True)
+    base = (base - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0
     prev = base[:, 8:8 + h, 8:8 + w]
     # Smooth flow: constant translation + small linear term.
     t = jax.random.uniform(k2, (batch, 1, 1, 2), minval=-3.0, maxval=3.0)
