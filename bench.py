@@ -57,16 +57,19 @@ def measure_cpu_reference(frames):
     # Warm up torch once (thread pools etc).
     with torch.no_grad():
         model(torch.zeros(1, 3, H, W))
-    t0 = time.perf_counter()
-    for i in range(n):
-        cv2.calcOpticalFlowFarneback(gray[i], gray[i + 1], None,
-                                     0.5, 3, 15, 3, 5, 1.2, 0)
-        x = (frames[i].astype(np.float32) / 255.0 - mean) / std
-        with torch.no_grad():
-            model(torch.from_numpy(x.transpose(2, 0, 1)[None]),
-                  return_features=True)
-    dt = time.perf_counter() - t0
-    return n / dt
+    # Host wall time is noisy on this 1-core box: best of 3 passes.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n):
+            cv2.calcOpticalFlowFarneback(gray[i], gray[i + 1], None,
+                                         0.5, 3, 15, 3, 5, 1.2, 0)
+            x = (frames[i].astype(np.float32) / 255.0 - mean) / std
+            with torch.no_grad():
+                model(torch.from_numpy(x.transpose(2, 0, 1)[None]),
+                      return_features=True)
+        best = min(best, time.perf_counter() - t0)
+    return n / best
 
 
 def measure_tpu(frames):
