@@ -102,3 +102,45 @@ def test_checkpoint_roundtrip(tmp_path):
     a = np.asarray(v["spatial"]["params"]["conv1"]["kernel"])
     b = np.asarray(restored["spatial"]["params"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_full_stage_chain(tmp_path, tiny_clip, capsys):
+    """The reference's filesystem stage handoff end-to-end:
+    extract-frames → compute-flow (quantized jpg) → extract-features
+    from BOTH the frames dir (rgb) and the stored-flow dir (flow) →
+    classify-clip.  This is the workflow a reference user ports."""
+    frames_dir = str(tmp_path / "frames")
+    flow_dir = str(tmp_path / "flow")
+
+    rc, _ = run_cli(capsys, ["extract-frames", tiny_clip, frames_dir])
+    assert rc == 0
+    rc, res = run_cli(capsys, [
+        "compute-flow", frames_dir, flow_dir, "--algo", "farneback",
+        "--format", "jpg"])
+    assert rc == 0 and res["flows"] == 11
+
+    rc, res = run_cli(capsys, [
+        "extract-features", frames_dir, str(tmp_path / "rgb.npz"),
+        "--stream", "rgb", "--num-classes", "5", "--max-frames", "3"])
+    assert rc == 0 and res["rgb"] == [3, 512]
+
+    rc, res = run_cli(capsys, [
+        "extract-features", flow_dir, str(tmp_path / "flow.npz"),
+        "--stream", "flow", "--num-classes", "5"])
+    assert rc == 0 and res["source"] == "flow_dir"
+    feats = np.load(str(tmp_path / "flow.npz"))["flow"]
+    assert feats.shape == (2, 512) and np.isfinite(feats).all()
+
+    rc, res = run_cli(capsys, [
+        "classify-clip", tiny_clip, "--algo", "farneback",
+        "--num-classes", "5"])
+    assert rc == 0 and 0 <= res["top1"] < 5
+
+
+def test_extract_features_rgb_from_flow_dir_errors(tmp_path, capsys):
+    d = tmp_path / "flowdir"
+    d.mkdir()
+    (d / "flow_x_000001.jpg").write_bytes(b"x")
+    rc = main(["extract-features", str(d), str(tmp_path / "o.npz"),
+               "--stream", "rgb"])
+    assert rc == 2

@@ -134,18 +134,54 @@ def _load_two_stream(checkpoint: Optional[str], num_classes: int,
     return model, variables
 
 
+def _is_flow_dir(src: str) -> bool:
+    if not os.path.isdir(src):
+        return False
+    names = os.listdir(src)
+    return any(n.startswith("flow_x_") or n.endswith(".flo")
+               for n in names)
+
+
 def cmd_extract_features(args) -> int:
+    import jax
     import jax.numpy as jnp
     from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.runtime.pipeline import (
         rgb_features, flow_features)
+    from video_analytics_tpu.ops import (
+        normalize_flow_stack, stack_flow_windows)
 
-    frames = _load_frames(args.src, args.max_frames)
     cfg = PipelineConfig(flow_algo=args.algo)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
 
     out = {}
+    if _is_flow_dir(args.src):
+        # Stored-flow input (the reference's stage-artifact handoff:
+        # compute-flow output dir → flow-stream features).
+        if args.stream in ("rgb", "both"):
+            print("error: rgb features need frames, got a flow dir",
+                  file=sys.stderr)
+            return 2
+        from video_analytics_tpu.io.flowio import read_flow_dir
+        flows = read_flow_dir(args.src, bound=args.bound,
+                              max_flows=args.max_frames)
+        need = cfg.preprocess.flow_stack
+        if len(flows) < need:
+            print(f"error: need >= {need} stored flows", file=sys.stderr)
+            return 2
+        stacks = stack_flow_windows(jnp.asarray(flows),
+                                    cfg.preprocess.flow_stack)
+        stacks = normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+        out["flow"] = np.asarray(jax.jit(
+            lambda s: model.temporal.apply(
+                variables["temporal"], s, return_features=True))(stacks))
+        np.savez(args.out, **out)
+        print(json.dumps({k: list(v.shape) for k, v in out.items()}
+                         | {"out": args.out, "source": "flow_dir"}))
+        return 0
+
+    frames = _load_frames(args.src, args.max_frames)
     if args.stream in ("rgb", "both"):
         out["rgb"] = np.asarray(rgb_features(
             jnp.asarray(frames), variables["spatial"], model.spatial,
@@ -342,6 +378,8 @@ def build_parser() -> argparse.ArgumentParser:
     xf.add_argument("--checkpoint", default=None)
     xf.add_argument("--num-classes", type=int, default=101)
     xf.add_argument("--max-frames", type=int, default=None)
+    xf.add_argument("--bound", type=float, default=20.0,
+                    help="dequantization bound for stored uint8 flow")
     xf.set_defaults(fn=cmd_extract_features)
 
     cc = sub.add_parser("classify-clip",
