@@ -26,6 +26,30 @@ def test_mesh_shape():
     assert mesh2.devices.shape == (4, 2)
 
 
+def test_mesh_raises_on_underprovision():
+    with pytest.raises(RuntimeError, match="only 8 device"):
+        make_mesh(n_devices=16)
+
+
+def test_train_step_compiles_once():
+    """TrainState.step must be a pytree leaf: a Python-int step in the
+    treedef forces a fresh XLA compile every call (ADVICE.md round 1)."""
+    model = resnet18(num_classes=3)
+    variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(32, 32))
+    tx = optax.sgd(0.1)
+    step = make_train_step(model, tx)
+    state = create_train_state(model, variables, tx)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (4,)))
+    state, _ = step(state, x, y)
+    misses0 = step._cache_size()
+    for _ in range(3):
+        state, _ = step(state, x, y)
+    assert step._cache_size() == misses0 == 1
+    assert int(state.step) == 4
+
+
 def test_shard_batch_layout():
     mesh = make_mesh()
     x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)

@@ -29,6 +29,13 @@ def make_mesh(n_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh(n_devices={n_devices}): only {len(devices)} "
+                f"device(s) available ({devices!r}). Under-provisioning a "
+                "mesh silently would mask deployment errors; provision more "
+                "devices (e.g. XLA_FLAGS=--xla_force_host_platform_device_"
+                "count=N with JAX_PLATFORMS=cpu for virtual testing).")
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:

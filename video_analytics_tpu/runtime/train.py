@@ -26,7 +26,7 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
-    step: int = 0
+    step: Any = 0  # jnp.int32 scalar in live states (pytree leaf)
 
 
 def create_train_state(model: ResNet, variables: Dict[str, Any],
@@ -34,7 +34,7 @@ def create_train_state(model: ResNet, variables: Dict[str, Any],
     return TrainState(params=variables["params"],
                       batch_stats=variables["batch_stats"],
                       opt_state=tx.init(variables["params"]),
-                      step=0)
+                      step=jnp.zeros((), jnp.int32))
 
 
 def make_train_step(model: ResNet, tx: optax.GradientTransformation,
@@ -72,14 +72,17 @@ def shard_train_inputs(mesh, state: TrainState, x, y):
         params=jax.device_put(state.params, rep),
         batch_stats=jax.device_put(state.batch_stats, rep),
         opt_state=jax.device_put(state.opt_state, rep),
-        step=state.step)
+        step=jax.device_put(jnp.asarray(state.step, jnp.int32), rep))
     x = jax.device_put(x, data_sharding(mesh, x.ndim))
     y = jax.device_put(y, data_sharding(mesh, y.ndim))
     return state, x, y
 
 
+# `step` is a pytree LEAF (a jnp scalar), not aux_data: aux_data is part
+# of the treedef, so a Python-int step would change the treedef every
+# step and force a full XLA recompile per call (ADVICE.md round 1).
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.params, s.batch_stats, s.opt_state), s.step),
-    lambda step, kids: TrainState(kids[0], kids[1], kids[2], step),
+    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
+    lambda _, kids: TrainState(*kids),
 )
