@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Flush silent numeric failures in any op/program the suite runs
+# (SURVEY.md §4: jax_debug_nans in tests).
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

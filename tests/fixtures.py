@@ -40,19 +40,21 @@ def smooth_pair(rng: np.random.Generator, h: int, w: int,
 
 def moving_square_frames(num: int, h: int, w: int,
                          step: Tuple[int, int] = (2, 1),
-                         size: int = 24) -> List[np.ndarray]:
+                         size: int = 24,
+                         start: Tuple[int, int] = (10, 10),
+                         seed: int = 42) -> List[np.ndarray]:
     """RGB frames of a textured square translating at `step` px/frame
     over a static textured background — known ground-truth motion."""
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     bg = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
     bg = cv2.GaussianBlur(bg, (7, 7), 0)
     tex = rng.integers(120, 255, (size, size, 3), dtype=np.uint8)
     frames = []
-    x0, y0 = 10, 10
+    x0, y0 = start
     for t in range(num):
         f = bg.copy()
-        x = x0 + t * step[0]
-        y = y0 + t * step[1]
+        x = int(np.clip(x0 + t * step[0], 0, w - size))
+        y = int(np.clip(y0 + t * step[1], 0, h - size))
         f[y:y + size, x:x + size] = tex
         frames.append(f)
     return frames

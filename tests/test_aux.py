@@ -83,7 +83,10 @@ def test_evaluate_batched(tmp_path):
 
     r1 = evaluate(records, variables, model, cfg)
     r2 = evaluate_batched(records, variables, model, cfg,
-                          batch_windows=2)
+                          batch_clips=2)
     assert r2.total == r1.total == 3
     assert r2.failed == 1
     assert r2.correct == r1.correct
+    # Failure accounting names the exact clip that failed (SURVEY §5).
+    assert [p for p, _ in r2.failures] == [bad]
+    assert [p for p, _ in r1.failures] == [bad]

@@ -99,6 +99,40 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_sharded_multisnippet_eval_matches_serial(tmp_path):
+    """Mesh-sharded batched eval with the multi-snippet protocol and
+    device-side accuracy reduction must give the serial driver's exact
+    top-1 (VERDICT r1 #4; SURVEY §3.4)."""
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import (
+        evaluate, evaluate_batched)
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=0, iterations=1),
+                         window=12)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    records = []
+    for i in range(5):
+        p = str(tmp_path / f"c{i}.mp4")
+        synthesize_video(
+            p, moving_square_frames(20, 120, 160, step=(2 - i % 3, 1)),
+            fps=10)
+        records.append(ClipRecord(path=p, label=i % 3, class_name=str(i)))
+
+    serial = evaluate(records, variables, model, cfg, num_windows=3)
+    sharded = evaluate_batched(records, variables, model, cfg,
+                               batch_clips=4, num_windows=3,
+                               mesh=make_mesh())
+    assert sharded.total == serial.total == 5
+    assert sharded.correct == serial.correct
+    assert sharded.failed == 0
+
+
 def test_sharded_inference_matches():
     from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
     from video_analytics_tpu.models.two_stream import TwoStreamModel

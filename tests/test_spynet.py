@@ -81,10 +81,10 @@ def test_bundled_checkpoint_recovers_motion():
     """The shipped synthetic-trained weights must recover a known
     translation on held-out synthetic content (val EPE at save time
     was 0.034)."""
-    import os
-    ckpt = os.path.join(os.path.dirname(__file__), "..",
-                        "checkpoints", "spynet_synthetic.msgpack")
-    if not os.path.exists(ckpt):
+    from video_analytics_tpu.models.spynet import default_spynet_checkpoint
+    try:
+        ckpt = default_spynet_checkpoint()
+    except FileNotFoundError:
         pytest.skip("no bundled spynet checkpoint")
     from video_analytics_tpu.runtime.checkpoint import load_variables
     model = SpyNet(levels=4)

@@ -41,20 +41,39 @@ def test_train_two_steps_writes_checkpoint(tmp_path, mini_ucf, capsys):
     out = str(tmp_path / "ckpt.msgpack")
     rc = main(["train", "--videos", videos, "--annotations", ann,
                "--out", out, "--num-classes", "2", "--batch", "4",
-               "--steps", "2", "--log-every", "1"])
+               "--steps", "2", "--log-every", "1", "--stream", "rgb"])
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["steps"] == 2 and os.path.exists(out)
-    assert np.isfinite(res["final_loss"])
+    assert np.isfinite(res["final_loss_rgb"])
 
-    # The checkpoint must load back into a fresh model.
+    # The checkpoint is a full two-stream variables dict, loadable by
+    # classify-clip/eval-ucf101 directly.
     import jax
-    from video_analytics_tpu.models.resnet import resnet18, init_resnet
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
     from video_analytics_tpu.runtime.checkpoint import load_variables
-    model = resnet18(num_classes=2)
-    template = init_resnet(model, jax.random.PRNGKey(9))
+    model = TwoStreamModel.create(num_classes=2, flow_stack=10)
+    template = model.init_variables(jax.random.PRNGKey(9))
     restored = load_variables(out, template)
-    assert "params" in restored and "batch_stats" in restored
+    assert "spatial" in restored and "temporal" in restored
+    assert "params" in restored["spatial"]
+
+
+def test_train_flow_stream_smoke(tmp_path, mini_ucf, capsys):
+    """One step through the flow-stream training path: decode → window
+    → on-device flow → stacked input → temporal-net gradient step."""
+    videos, ann = mini_ucf
+    out = str(tmp_path / "flow_ckpt.msgpack")
+    rc = main(["train", "--videos", videos, "--annotations", ann,
+               "--out", out, "--num-classes", "2", "--batch", "2",
+               "--steps", "1", "--stream", "flow", "--algo", "farneback",
+               "--flow-stack", "3", "--crop", "64", "--resize-short", "72",
+               "--width", "16"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] == 1 and res["stream"] == "flow"
+    assert np.isfinite(res["final_loss_flow"])
+    assert os.path.exists(out)
 
 
 def test_eval_ucf101_cli_runs(tmp_path, mini_ucf, capsys):

@@ -12,7 +12,7 @@ import argparse
 import json
 import os
 import sys
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -70,12 +70,10 @@ def cmd_compute_flow(args) -> int:
     n_pairs = len(frames) - 1
     if args.algo == "spynet":
         # Learned flow: needs trained weights (see models/spynet.py).
-        from video_analytics_tpu.models.spynet import SpyNet, init_spynet
+        from video_analytics_tpu.models.spynet import (
+            SpyNet, default_spynet_checkpoint, init_spynet)
         from video_analytics_tpu.runtime.checkpoint import load_variables
-        ckpt = args.spynet_checkpoint or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            "checkpoints", "spynet_synthetic.msgpack")
+        ckpt = args.spynet_checkpoint or default_spynet_checkpoint()
         model = SpyNet(levels=4)
         template = {"params": init_spynet(
             model, __import__("jax").random.PRNGKey(0))["params"]}
@@ -116,19 +114,54 @@ def cmd_compute_flow(args) -> int:
 # extract-features
 # ---------------------------------------------------------------------------
 
-def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0):
+def _pipeline_config(args):
+    """Build a PipelineConfig from the shared model/preprocess args
+    (_add_model_args); fields not exposed keep their defaults."""
+    import dataclasses
+    from video_analytics_tpu.config import PipelineConfig, PreprocessConfig
+    pre = PreprocessConfig(resize_short=args.resize_short, crop=args.crop,
+                           flow_stack=args.flow_stack)
+    kw = dict(preprocess=pre, num_classes=args.num_classes)
+    if getattr(args, "algo", None) in ("tvl1", "farneback"):
+        kw["flow_algo"] = args.algo
+    if getattr(args, "window", None) is not None:
+        kw["window"] = args.window
+    return PipelineConfig(**kw)
+
+
+def _add_model_args(p, window: bool = True):
+    """Args that determine the model/pipeline geometry — must match
+    between `train` and whatever later loads its checkpoint."""
+    p.add_argument("--num-classes", type=int, default=101)
+    p.add_argument("--flow-stack", type=int, default=10,
+                   help="L consecutive flow fields per temporal input")
+    p.add_argument("--crop", type=int, default=224)
+    p.add_argument("--resize-short", type=int, default=256)
+    p.add_argument("--width", type=int, default=64,
+                   help="ResNet base width (64 = standard ResNet-18)")
+    if window:
+        p.add_argument("--window", type=int, default=16,
+                       help="frames per sliding window")
+
+
+def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0,
+                        width: int = 64,
+                        input_hw: Tuple[int, int] = (224, 224)):
     import jax
     from video_analytics_tpu.models.two_stream import TwoStreamModel
     model = TwoStreamModel.create(num_classes=num_classes,
-                                  flow_stack=flow_stack)
-    variables = model.init_variables(jax.random.PRNGKey(seed))
+                                  flow_stack=flow_stack, width=width)
+    variables = model.init_variables(jax.random.PRNGKey(seed),
+                                     input_hw=input_hw)
     return model, variables
 
 
 def _load_two_stream(checkpoint: Optional[str], num_classes: int,
-                     flow_stack: int):
+                     flow_stack: int, width: int = 64,
+                     input_hw: Tuple[int, int] = (224, 224)):
     from video_analytics_tpu.runtime.checkpoint import load_variables
-    model, variables = _default_two_stream(num_classes, flow_stack)
+    model, variables = _default_two_stream(num_classes, flow_stack,
+                                           width=width, input_hw=input_hw)
     if checkpoint:
         variables = load_variables(checkpoint, variables)
     return model, variables
@@ -151,9 +184,10 @@ def cmd_extract_features(args) -> int:
     from video_analytics_tpu.ops import (
         normalize_flow_stack, stack_flow_windows)
 
-    cfg = PipelineConfig(flow_algo=args.algo)
+    cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
-        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
 
     out = {}
     if _is_flow_dir(args.src):
@@ -164,14 +198,25 @@ def cmd_extract_features(args) -> int:
                   file=sys.stderr)
             return 2
         from video_analytics_tpu.io.flowio import read_flow_dir
+        from video_analytics_tpu.ops.preprocess import (
+            center_crop, resize_short_side)
         flows = read_flow_dir(args.src, bound=args.bound,
                               max_flows=args.max_frames)
         need = cfg.preprocess.flow_stack
         if len(flows) < need:
             print(f"error: need >= {need} stored flows", file=sys.stderr)
             return 2
-        stacks = stack_flow_windows(jnp.asarray(flows),
-                                    cfg.preprocess.flow_stack)
+        # Match the frames-path geometry (flow_features): resize short
+        # side + center crop, with the (u, v) values scaled by the
+        # per-axis resize factors so a checkpoint trained at `crop`
+        # sees the same input distribution through the stage-handoff
+        # chain (ADVICE.md round 1).
+        f = jnp.asarray(flows)
+        h, w = f.shape[1], f.shape[2]
+        f = resize_short_side(f, cfg.preprocess.resize_short)
+        f = f * jnp.asarray([f.shape[2] / w, f.shape[1] / h], jnp.float32)
+        f = center_crop(f, cfg.preprocess.crop)
+        stacks = stack_flow_windows(f, cfg.preprocess.flow_stack)
         stacks = normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
         out["flow"] = np.asarray(jax.jit(
             lambda s: model.temporal.apply(
@@ -206,12 +251,12 @@ def cmd_extract_features(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_classify_clip(args) -> int:
-    from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.runtime.evaluate import classify_clip_file
 
-    cfg = PipelineConfig(flow_algo=args.algo)
+    cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
-        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
 
     classes: Optional[List[str]] = None
     if args.class_index:
@@ -238,19 +283,31 @@ def cmd_classify_clip(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_eval_ucf101(args) -> int:
-    from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.io.dataset import UCF101
     from video_analytics_tpu.runtime.evaluate import evaluate
 
-    cfg = PipelineConfig(flow_algo=args.algo)
+    cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
-        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack)
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
                 split=args.split)
-    result = evaluate(ds.test_records(), variables, model, cfg,
-                      manifest_path=args.manifest,
-                      predictions_path=args.predictions,
-                      limit=args.limit, num_windows=args.windows)
+    if args.batched:
+        from video_analytics_tpu.parallel.mesh import make_mesh
+        from video_analytics_tpu.runtime.evaluate import evaluate_batched
+        records = ds.test_records()
+        if args.limit is not None:
+            records = records[:args.limit]
+        result = evaluate_batched(
+            records, variables, model, cfg,
+            batch_clips=args.batch_clips, num_windows=args.windows,
+            mesh=make_mesh() if len(__import__("jax").devices()) > 1
+            else None)
+    else:
+        result = evaluate(ds.test_records(), variables, model, cfg,
+                          manifest_path=args.manifest,
+                          predictions_path=args.predictions,
+                          limit=args.limit, num_windows=args.windows)
     print(json.dumps(result.as_dict()))
     return 0
 
@@ -262,76 +319,109 @@ def cmd_eval_ucf101(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_train(args) -> int:
+    """Fine-tune the two-stream model (--stream rgb|flow|both) on
+    UCF101-layout data.  Saves a full two-stream checkpoint loadable by
+    classify-clip / eval-ucf101 (SURVEY.md §3.5 learn→checkpoint→eval)."""
+    import cv2
     import jax
     import jax.numpy as jnp
     import optax
-    from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.io.dataset import UCF101
     from video_analytics_tpu.io.video import VideoReader
-    from video_analytics_tpu.models.resnet import resnet18, init_resnet
-    from video_analytics_tpu.ops import preprocess as pp
-    from video_analytics_tpu.parallel.mesh import make_mesh
+    from video_analytics_tpu.parallel.mesh import (
+        data_sharding, make_mesh, pad_to_multiple, replicated)
     from video_analytics_tpu.runtime.checkpoint import (
         load_variables, save_variables)
-    from video_analytics_tpu.runtime.train import (
-        create_train_state, make_train_step, shard_train_inputs)
+    from video_analytics_tpu.runtime.train_two_stream import (
+        build_examples, create_two_stream_states,
+        make_two_stream_train_steps, train_window_len,
+        two_stream_variables)
     from video_analytics_tpu.utils.logging import get_logger
     import numpy as np
 
     log = get_logger("tpuva.train")
-    cfg = PipelineConfig()
+    cfg = _pipeline_config(args)
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
                 split=args.split)
     records = ds.train_records()
-    model = resnet18(num_classes=args.num_classes)
-    variables = init_resnet(model, jax.random.PRNGKey(args.seed))
+    model, variables = _default_two_stream(
+        args.num_classes, cfg.preprocess.flow_stack, seed=args.seed,
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
     if args.init_checkpoint:
         variables = load_variables(args.init_checkpoint, variables)
     tx = optax.sgd(args.lr, momentum=0.9)
-    state = create_train_state(model, variables, tx)
-    step_fn = make_train_step(model, tx)
+    states = create_two_stream_states(model, variables, tx, args.stream)
+    steps = make_two_stream_train_steps(model, tx, args.stream)
     mesh = make_mesh()
+    states = jax.device_put(states, replicated(mesh))
+    ddim = mesh.devices.shape[0]
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
-    pre = cfg.preprocess.__class__(random_crop=True, random_flip=True)
+    win = train_window_len(cfg)
+    expected_hw = None      # host-resize later clips to the first shape
+    metrics = None
     n_done = 0
+    empty_batches = 0
     while n_done < args.steps:
         idx = rng.choice(len(records), size=args.batch, replace=True)
-        xs, ys = [], []
+        ws, ys = [], []
         for i in idx:
             rec = records[i]
             try:
                 with VideoReader(rec.path) as r:
-                    frames = r.read_all(max_frames=64)
+                    frames = r.read_all(max_frames=args.max_frames)
             except Exception as e:
                 log.warning("skip %s (%s)", rec.path, e)
                 continue
-            f = frames[rng.integers(0, len(frames))]
-            key, sub = jax.random.split(key)
-            x = pp.preprocess_clip(jnp.asarray(f[None]), pre, key=sub)[0]
-            xs.append(np.asarray(x))
+            if len(frames) == 0:
+                continue
+            start = int(rng.integers(0, max(1, len(frames) - win + 1)))
+            sel = np.clip(np.arange(start, start + win), 0,
+                          len(frames) - 1)
+            w = frames[sel]
+            if expected_hw is None:
+                expected_hw = w.shape[1:3]
+            elif w.shape[1:3] != expected_hw:
+                # One compiled shape: normalise decode size on host.
+                w = np.stack([cv2.resize(f, (expected_hw[1],
+                                              expected_hw[0]))
+                              for f in w])
+            ws.append(w)
             ys.append(rec.label)
-        if not xs:
+        if not ws:
+            empty_batches += 1
+            if empty_batches >= 10:
+                print("error: 10 consecutive batches with zero decodable "
+                      "clips — aborting", file=sys.stderr)
+                return 1
             continue
+        empty_batches = 0
         # Pad to the mesh's data-axis size (repeated samples slightly
         # overweight; acceptable for fine-tuning).
-        from video_analytics_tpu.parallel.mesh import pad_to_multiple
-        ddim = mesh.devices.shape[0]
-        x_np, _ = pad_to_multiple(np.stack(xs), ddim)
-        y_np, _ = pad_to_multiple(np.asarray(ys), ddim)
-        x = jnp.asarray(x_np)
-        y = jnp.asarray(y_np)
-        state, xs_d, ys_d = shard_train_inputs(mesh, state, x, y)
-        state, metrics = step_fn(state, xs_d, ys_d)
+        w_np, _ = pad_to_multiple(np.stack(ws), ddim)
+        y_np, _ = pad_to_multiple(np.asarray(ys, np.int32), ddim)
+        batch_w = jax.device_put(jnp.asarray(w_np), data_sharding(mesh, 5))
+        y = jax.device_put(jnp.asarray(y_np), data_sharding(mesh, 1))
+        key, sub = jax.random.split(key)
+        examples = build_examples(batch_w, sub, cfg, args.stream)
+        metrics = {}
+        for name, step_fn in steps.items():
+            states[name], metrics[name] = step_fn(states[name],
+                                                  examples[name], y)
         n_done += 1
         if n_done % args.log_every == 0:
-            log.info("step %d loss %.4f acc %.3f", n_done,
-                     float(metrics["loss"]), float(metrics["accuracy"]))
-    save_variables(args.out, {"params": state.params,
-                              "batch_stats": state.batch_stats})
-    print(json.dumps({"steps": n_done, "checkpoint": args.out,
-                      "final_loss": float(metrics["loss"])}))
+            log.info("step %d %s", n_done, " ".join(
+                f"{k}: loss {float(m['loss']):.4f} "
+                f"acc {float(m['accuracy']):.3f}"
+                for k, m in metrics.items()))
+    save_variables(args.out, two_stream_variables(variables, states))
+    result = {"steps": n_done, "checkpoint": args.out,
+              "stream": args.stream}
+    if metrics is not None:
+        for k, m in metrics.items():
+            result[f"final_loss_{k}"] = float(m["loss"])
+    print(json.dumps(result))
     return 0
 
 
@@ -376,7 +466,7 @@ def build_parser() -> argparse.ArgumentParser:
     xf.add_argument("--algo", choices=["tvl1", "farneback"],
                     default="tvl1")
     xf.add_argument("--checkpoint", default=None)
-    xf.add_argument("--num-classes", type=int, default=101)
+    _add_model_args(xf, window=False)
     xf.add_argument("--max-frames", type=int, default=None)
     xf.add_argument("--bound", type=float, default=20.0,
                     help="dequantization bound for stored uint8 flow")
@@ -390,7 +480,7 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--checkpoint", default=None)
     cc.add_argument("--class-index", default=None,
                     help="UCF101 classInd.txt for names")
-    cc.add_argument("--num-classes", type=int, default=101)
+    _add_model_args(cc)
     cc.add_argument("--topk", type=int, default=5)
     cc.add_argument("--windows", type=int, default=1)
     cc.set_defaults(fn=cmd_classify_clip)
@@ -402,20 +492,34 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--algo", choices=["tvl1", "farneback"],
                     default="tvl1")
     ev.add_argument("--checkpoint", default=None)
-    ev.add_argument("--num-classes", type=int, default=101)
+    _add_model_args(ev)
     ev.add_argument("--manifest", default=None)
     ev.add_argument("--predictions", default=None)
     ev.add_argument("--limit", type=int, default=None)
     ev.add_argument("--windows", type=int, default=1,
                     help="snippets per clip, probs averaged")
+    ev.add_argument("--batched", action="store_true",
+                    help="throughput path: prefetched decode, batched "
+                         "launches, mesh-sharded with on-device "
+                         "accuracy reduction")
+    ev.add_argument("--batch-clips", type=int, default=8)
     ev.set_defaults(fn=cmd_eval_ucf101)
 
-    tr = sub.add_parser("train", help="fine-tune the spatial stream on UCF101")
+    tr = sub.add_parser("train",
+                        help="fine-tune the two-stream model on UCF101")
     tr.add_argument("--videos", required=True)
     tr.add_argument("--annotations", required=True)
     tr.add_argument("--out", required=True, help="checkpoint output path")
     tr.add_argument("--split", type=int, default=1)
-    tr.add_argument("--num-classes", type=int, default=101)
+    tr.add_argument("--stream", choices=["rgb", "flow", "both"],
+                    default="both",
+                    help="which stream(s) to train")
+    tr.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1",
+                    help="flow algorithm feeding the temporal stream")
+    _add_model_args(tr)
+    tr.add_argument("--max-frames", type=int, default=120,
+                    help="decode cap per training clip")
     tr.add_argument("--batch", type=int, default=32)
     tr.add_argument("--steps", type=int, default=1000)
     tr.add_argument("--lr", type=float, default=1e-3)

@@ -100,16 +100,21 @@ class DevicePrefetcher:
 def prefetch_clips(paths: Iterable[str],
                    loader: Callable[[str], np.ndarray],
                    num_workers: int = 2,
-                   queue_depth: int = 4) -> Iterator[Any]:
+                   queue_depth: int = 4,
+                   error_log: Optional[List] = None) -> Iterator[Any]:
     """Threaded decode of many clips → (path, frames, decode_s) stream.
-    Order across workers is not guaranteed (it's a throughput path)."""
+    Order across workers is not guaranteed (it's a throughput path).
+    Decode failures are appended to `error_log` as (path, repr(exc))
+    so callers can report exactly which clips failed (SURVEY.md §5
+    failure detection)."""
     paths = list(paths)
     out_q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     shards = [paths[i::num_workers] for i in range(num_workers)]
     threads = []
     for shard in shards:
         t = threading.Thread(target=decode_worker,
-                             args=(shard, out_q, loader), daemon=True)
+                             args=(shard, out_q, loader, error_log),
+                             daemon=True)
         t.start()
         threads.append(t)
     done = 0

@@ -101,22 +101,23 @@ class ResNet(nn.Module):
 
 
 def resnet18(num_classes: int = 1000, in_channels: int = 3,
-             dtype: Any = jnp.float32) -> ResNet:
+             dtype: Any = jnp.float32, width: int = 64) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), num_classes=num_classes,
-                  in_channels=in_channels, dtype=dtype)
+                  in_channels=in_channels, dtype=dtype, width=width)
 
 
 def resnet34(num_classes: int = 1000, in_channels: int = 3,
-             dtype: Any = jnp.float32) -> ResNet:
+             dtype: Any = jnp.float32, width: int = 64) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
-                  in_channels=in_channels, dtype=dtype)
+                  in_channels=in_channels, dtype=dtype, width=width)
 
 
 def flow_stream_resnet18(stack: int = 10, num_classes: int = 101,
-                         dtype: Any = jnp.float32) -> ResNet:
+                         dtype: Any = jnp.float32,
+                         width: int = 64) -> ResNet:
     """Temporal-stream net: stem consumes 2*stack flow channels."""
     return resnet18(num_classes=num_classes, in_channels=2 * stack,
-                    dtype=dtype)
+                    dtype=dtype, width=width)
 
 
 def init_resnet(model: ResNet, key: jax.Array,

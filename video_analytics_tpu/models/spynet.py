@@ -97,6 +97,25 @@ class SpyNet(nn.Module):
         return flow
 
 
+def default_spynet_checkpoint() -> str:
+    """Path of the bundled synthetic-trained SpyNet weights.
+
+    Shipped as package data (video_analytics_tpu/checkpoints_data/) so
+    pip installs carry it; raises FileNotFoundError with a pointer to
+    --spynet-checkpoint if the data file is missing.
+    """
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints_data",
+        "spynet_synthetic.msgpack")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"bundled SpyNet checkpoint missing at {path}; pass "
+            "--spynet-checkpoint (or retrain: models/spynet.py "
+            "make_spynet_train_step on synthetic_pair data)")
+    return path
+
+
 def init_spynet(model: SpyNet, key: jax.Array,
                 input_hw: Tuple[int, int] = (64, 64)):
     dummy = jnp.zeros((1, *input_hw), jnp.float32)

@@ -37,12 +37,14 @@ class TwoStreamModel:
     @classmethod
     def create(cls, num_classes: int = 101, flow_stack: int = 10,
                fusion_weights: Tuple[float, float] = (1.0, 1.5),
-               dtype: Any = jnp.float32) -> "TwoStreamModel":
+               dtype: Any = jnp.float32,
+               width: int = 64) -> "TwoStreamModel":
         return cls(
-            spatial=resnet18(num_classes=num_classes, dtype=dtype),
+            spatial=resnet18(num_classes=num_classes, dtype=dtype,
+                             width=width),
             temporal=flow_stream_resnet18(stack=flow_stack,
                                           num_classes=num_classes,
-                                          dtype=dtype),
+                                          dtype=dtype, width=width),
             fusion_weights=fusion_weights,
         )
 

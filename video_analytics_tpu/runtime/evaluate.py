@@ -9,6 +9,7 @@ aborting the run; a ProgressManifest makes long runs resumable
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Any, Dict, Iterable, List, Optional
@@ -32,6 +33,8 @@ class EvalResult:
     total: int = 0
     correct: int = 0
     failed: int = 0
+    # (path, repr(exception)) for every clip that failed to decode/run.
+    failures: List = dataclasses.field(default_factory=list)
 
     @property
     def top1(self) -> float:
@@ -39,7 +42,9 @@ class EvalResult:
 
     def as_dict(self) -> Dict[str, Any]:
         return {"total": self.total, "correct": self.correct,
-                "failed": self.failed, "top1": self.top1}
+                "failed": self.failed, "top1": self.top1,
+                "failures": [{"path": p, "error": e}
+                             for p, e in self.failures]}
 
 
 def classify_clip_file(path: str, variables, model: TwoStreamModel,
@@ -71,35 +76,72 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
     return acc / len(starts)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def _batch_clip_metrics(windows, labels, valid, variables,
+                        model: TwoStreamModel, cfg: PipelineConfig):
+    """(B, N, T, H, W, 3) snippet windows → (correct_count, preds).
+
+    Multi-snippet protocol on device: per-clip probs are the mean over
+    the N snippets (matching classify_clip_file), the top-1 match count
+    is reduced ON DEVICE — under a mesh sharding the batch axis is
+    sharded and XLA inserts the psum for the sum (SURVEY.md §3.4: the
+    only cross-device control point), so only one scalar comes home.
+    """
+    import jax.numpy as jnp
+
+    def one_clip(wins):
+        probs = jax.vmap(
+            lambda w: classify_window(w, variables, model, cfg))(wins)
+        return probs.mean(0)
+
+    clip_probs = jax.vmap(one_clip)(windows)          # (B, C)
+    preds = clip_probs.argmax(-1)
+    correct = jnp.sum(jnp.where(valid, preds == labels, False))
+    return correct, preds
+
+
 def evaluate_batched(records: List[ClipRecord], variables,
                      model: TwoStreamModel, cfg: PipelineConfig,
-                     batch_windows: int = 8,
+                     batch_clips: int = 8,
                      num_workers: int = 2,
                      mesh=None,
-                     max_frames: int = 300) -> EvalResult:
+                     max_frames: int = 300,
+                     num_windows: int = 1) -> EvalResult:
     """Throughput-oriented eval: threaded decode (ingest.prefetch_clips)
-    → centre windows batched `batch_windows` at a time → one
-    classify_batch launch per batch (amortises kernel dispatch),
-    optionally sharded over a mesh's 'data' axis.
+    → `num_windows` evenly-spaced snippet windows per clip → batches of
+    `batch_clips` clips per launch (amortises dispatch), optionally
+    sharded over a mesh's 'data' axis with the accuracy reduction on
+    device.
 
-    Same protocol as evaluate(num_windows=1); failures are contained in
-    the decode workers.
+    Protocol-identical to evaluate(num_windows=N); decode failures are
+    contained in the workers and reported per path in result.failures.
     """
     import jax.numpy as jnp
     from video_analytics_tpu.ingest.prefetch import prefetch_clips
     from video_analytics_tpu.io.video import VideoReader
     from video_analytics_tpu.parallel.mesh import (
-        data_sharding, pad_to_multiple, replicated)
-    from video_analytics_tpu.runtime.pipeline import classify_batch
+        data_sharding, replicated)
 
     win = max(cfg.window, cfg.preprocess.flow_stack + 1)
     by_path = {r.path: r for r in records}
+    if mesh is not None:
+        # One compiled shape: batches always pad to batch_clips, which
+        # must shard evenly over the data axis.
+        ddim = int(mesh.devices.shape[0])
+        batch_clips = ((batch_clips + ddim - 1) // ddim) * ddim
 
     def loader(path):
         with VideoReader(path) as r:
             frames = r.read_all(max_frames=max_frames)
-        idx = sample_window(len(frames), win)
-        return frames[idx]
+        t = len(frames)
+        if num_windows <= 1 or t <= win:
+            wins = frames[sample_window(t, win)][None]
+            if num_windows > 1:     # static (N, ...) shape either way
+                wins = np.repeat(wins, num_windows, axis=0)
+        else:
+            starts = np.linspace(0, t - win, num_windows).astype(int)
+            wins = np.stack([frames[s:s + win] for s in starts])
+        return wins
 
     if mesh is not None:
         variables = jax.device_put(variables, replicated(mesh))
@@ -110,30 +152,41 @@ def evaluate_batched(records: List[ClipRecord], variables,
     def flush():
         if not pending:
             return
-        paths, wins = zip(*pending)
+        paths, winss = zip(*pending)
         pending.clear()
-        arr = np.stack(wins)
-        n = len(arr)
+        n = len(winss)
+        arr = np.stack(winss)                     # (n, N, T, H, W, 3)
+        labels = np.asarray([by_path[p].label for p in paths], np.int32)
+        valid = np.ones(n, bool)
+        if n < batch_clips:                       # pad → one XLA program
+            pad = batch_clips - n
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+            labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
         if mesh is not None:
-            arr, _ = pad_to_multiple(arr, mesh.devices.shape[0])
             arr = jax.device_put(jnp.asarray(arr),
                                  data_sharding(mesh, arr.ndim))
-        probs = np.asarray(classify_batch(jnp.asarray(arr), variables,
-                                          model, cfg))[:n]
-        for p, pr in zip(paths, probs):
-            rec = by_path[p]
-            result.total += 1
-            result.correct += int(int(pr.argmax()) == rec.label)
+            labels = jax.device_put(jnp.asarray(labels),
+                                    data_sharding(mesh, 1))
+            valid_d = jax.device_put(jnp.asarray(valid),
+                                     data_sharding(mesh, 1))
+        else:
+            arr = jnp.asarray(arr)
+            labels = jnp.asarray(labels)
+            valid_d = jnp.asarray(valid)
+        correct, _ = _batch_clip_metrics(arr, labels, valid_d,
+                                         variables, model, cfg)
+        result.total += n
+        result.correct += int(correct)
 
-    errors: List = []
-    for path, window, _dt in prefetch_clips(
+    for path, wins, _dt in prefetch_clips(
             [r.path for r in records], loader,
-            num_workers=num_workers):
-        pending.append((path, window))
-        if len(pending) >= batch_windows:
+            num_workers=num_workers, error_log=result.failures):
+        pending.append((path, wins))
+        if len(pending) >= batch_clips:
             flush()
     flush()
-    result.failed = len(records) - result.total
+    result.failed = len(result.failures)
     return result
 
 
@@ -161,6 +214,7 @@ def evaluate(records: Iterable[ClipRecord], variables,
             except Exception as e:  # corrupt clip: log, count, continue
                 log.warning("clip failed: %s (%s)", rec.path, e)
                 result.failed += 1
+                result.failures.append((rec.path, repr(e)))
                 continue
             result.total += 1
             result.correct += int(pred == rec.label)
