@@ -61,6 +61,60 @@ def test_batched_jit(rng):
                                atol=1e-6)
 
 
+def test_banded_solver_bitexact_vs_monolithic(rng):
+    """The row-banded chunked solver (large-plane path, VERDICT r1 #2)
+    must be bit-exact to the whole-plane VMEM kernel — the halos are
+    sized so banding never changes a single interior value, including
+    with the median filter and the ε convergence gate engaged."""
+    from video_analytics_tpu.ops.pallas.tvl1_solve import (
+        tvl1_solve_warp, tvl1_solve_warp_banded)
+
+    B, H, W = 2, 61, 96
+    I1wx = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    I1wy = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    grad = I1wx ** 2 + I1wy ** 2
+    rho = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 0.5, (B, H, W)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, H, W)).astype(np.float32))
+
+    for cfg, band, chunk in [
+            # no early exit, ragged last band, chunk not dividing K
+            (TVL1Config(inner_iterations=7, outer_iterations=3,
+                        epsilon=1e-6, median_filtering=0), 16, 3),
+            # median + convergence gate engaged mid-run
+            (TVL1Config(inner_iterations=5, outer_iterations=4,
+                        epsilon=0.05, median_filtering=5), 24, 2),
+    ]:
+        u1, v1 = tvl1_solve_warp(I1wx, I1wy, grad, rho, u, v, cfg)
+        u2, v2 = tvl1_solve_warp_banded(I1wx, I1wy, grad, rho, u, v,
+                                        cfg, band=band, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_banded_solver_in_driver(rng):
+    """Full tvl1 driver with the banded path forced must match the XLA
+    reference driver closely (same algorithm, kernel path swapped)."""
+    import video_analytics_tpu.ops.pallas.tvl1_solve as ts
+
+    cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                     inner_iterations=6, median_filtering=5)
+    f1, f2 = smooth_pair(rng, 48, 64, dx=1.0, dy=0.5)
+    ref = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
+                          cfg, use_pallas=False))
+    orig_fits, orig_params = ts.solver_fits_vmem, ts.banded_params
+    ts.solver_fits_vmem = lambda *a: False
+    ts.banded_params = lambda h, w, c: (16, 4)
+    try:
+        out = np.asarray(tvl1(jnp.asarray(f1[None]),
+                              jnp.asarray(f2[None]), cfg,
+                              use_pallas=True))
+    finally:
+        ts.solver_fits_vmem, ts.banded_params = orig_fits, orig_params
+    epe = np.linalg.norm(out - ref, axis=-1)
+    assert epe.max() < 1e-4, epe.max()
+
+
 def test_median_filter_matches_cv2(rng):
     x = rng.uniform(-5, 5, (40, 56)).astype(np.float32)
     ours = np.asarray(median_filter2d(jnp.asarray(x[None]), 5))[0]

@@ -199,21 +199,32 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         I1x, I1y = centered_gradient(I1)
         # On TPU the whole per-warp solver runs as one VMEM-resident
         # Pallas kernel (ops/pallas/tvl1_solve.py, ~30x less HBM
-        # traffic); otherwise the XLA while-loop reference.
+        # traffic); planes too large for it use the row-banded chunked
+        # kernel (HBM once per `chunk` iterations instead of per
+        # iteration); otherwise the XLA while-loop reference.
         from video_analytics_tpu.ops.pallas.tvl1_solve import (
-            solver_fits_vmem, tvl1_solve_warp)
+            banded_params, solver_fits_vmem, tvl1_solve_warp,
+            tvl1_solve_warp_banded)
         from video_analytics_tpu.utils.platform import on_tpu
-        fused = (use_pallas if use_pallas is not None
-                 else on_tpu()) and solver_fits_vmem(
-                     lh, lw, cfg.median_filtering)
+        pallas_ok = use_pallas if use_pallas is not None else on_tpu()
+        fused = pallas_ok and solver_fits_vmem(lh, lw,
+                                               cfg.median_filtering)
+        banded = None
+        if pallas_ok and not fused:
+            banded = banded_params(lh, lw, cfg)
         for _ in range(cfg.warps):
             u0, v0 = u, v
             I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0)
-            if fused:
+            if fused or banded:
                 grad = I1wx * I1wx + I1wy * I1wy
                 rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
-                u, v = tvl1_solve_warp(I1wx, I1wy, grad, rho_c,
-                                       u, v, cfg)
+                if fused:
+                    u, v = tvl1_solve_warp(I1wx, I1wy, grad, rho_c,
+                                           u, v, cfg)
+                else:
+                    u, v = tvl1_solve_warp_banded(
+                        I1wx, I1wy, grad, rho_c, u, v, cfg,
+                        band=banded[0], chunk=banded[1])
             else:
                 u, v = _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v,
                                    cfg)
