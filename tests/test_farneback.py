@@ -36,8 +36,8 @@ def test_default_config_parity(pair):
     u1, u2 = pair
     ref, ours, epe, rel = _compare(
         u1, u2, FarnebackConfig(), (0.5, 3, 15, 3, 5, 1.2))
-    assert rel < 0.03, rel
-    assert epe[8:-8, 8:-8].mean() < 0.01
+    assert rel < 0.02, rel
+    assert epe[8:-8, 8:-8].mean() < 0.003
     # Flow direction/magnitude sanity: known translation (2.3, -1.1).
     mean_flow = ours.reshape(-1, 2).mean(0)
     np.testing.assert_allclose(mean_flow, [2.3, -1.1], atol=0.25)
@@ -48,8 +48,8 @@ def test_poly7_parity(pair):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(poly_n=7, poly_sigma=1.5),
         (0.5, 3, 15, 3, 7, 1.5))
-    assert rel < 0.04, rel
-    assert epe[8:-8, 8:-8].mean() < 0.02
+    assert rel < 0.03, rel
+    assert epe[8:-8, 8:-8].mean() < 0.005
 
 
 def test_small_window_parity(pair):
@@ -57,7 +57,7 @@ def test_small_window_parity(pair):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(winsize=9), (0.5, 3, 9, 3, 5, 1.2))
     assert rel < 0.10, rel
-    assert epe[8:-8, 8:-8].mean() < 0.03
+    assert epe[8:-8, 8:-8].mean() < 0.003
 
 
 def test_gaussian_window_interior_parity(pair):
@@ -67,8 +67,10 @@ def test_gaussian_window_interior_parity(pair):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(gaussian_window=True),
         (0.5, 3, 15, 3, 5, 1.2), cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
-    assert epe[8:-8, 8:-8].mean() < 0.02
-    assert rel < 0.15
+    # r2: the finest-level 3-tap pre-blur fix brought the interior from
+    # ~0.02px to ~0.001px; only the border band still differs from cv2.
+    assert epe[8:-8, 8:-8].mean() < 0.003
+    assert rel < 0.11
 
 
 def test_large_motion_pyramid(rng):
@@ -88,7 +90,7 @@ def test_nondefault_pyr_scale(rng):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(pyr_scale=0.8, levels=5),
         (0.8, 5, 15, 3, 5, 1.2))
-    assert rel < 0.05, rel
+    assert rel < 0.025, rel
 
 
 def test_batched_and_jit(pair):
@@ -124,5 +126,5 @@ def test_pallas_warp_pipeline_parity(pair):
         FarnebackConfig(), use_pallas=True))[0]
     epe = np.linalg.norm(ours - ref, axis=-1)
     rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
-    assert rel < 0.03, rel
-    assert epe[8:-8, 8:-8].mean() < 0.01
+    assert rel < 0.02, rel
+    assert epe[8:-8, 8:-8].mean() < 0.003

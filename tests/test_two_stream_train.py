@@ -74,7 +74,7 @@ def trained():
     key = jax.random.PRNGKey(1)
     batch = 9
     assert train_window_len(CFG) == 6
-    for it in range(40):
+    for it in range(80):
         idx = rng.choice(len(train_x), size=batch, replace=False)
         key, sub = jax.random.split(key)
         ex = build_examples(jnp.asarray(train_x[idx]), sub, CFG, "both")

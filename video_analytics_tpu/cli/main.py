@@ -78,11 +78,19 @@ def cmd_compute_flow(args) -> int:
         template = {"params": init_spynet(
             model, __import__("jax").random.PRNGKey(0))["params"]}
         weights = load_variables(ckpt, template)
-        fn = jax.jit(lambda a, b: model.apply(
+        base = jax.jit(lambda a, b: model.apply(
             {"params": weights["params"]}, a, b))
     else:
         cfg = PipelineConfig(flow_algo=args.algo)
-        fn = jax.jit(lambda a, b: compute_flow(a, b, cfg))
+        base = jax.jit(lambda a, b: compute_flow(a, b, cfg))
+    if args.no_bucket:
+        fn = base
+    else:
+        # Bucket (H, W) to multiples of 64 so nearby video resolutions
+        # share one compiled executable (Mosaic compiles cost minutes
+        # per new flow shape; SURVEY.md §7 hard-part #3).
+        from video_analytics_tpu.ops.bucketing import bucketed_flow
+        fn = lambda a, b: bucketed_flow(base, a, b)
     written = 0
     for s, e in _chunked(n_pairs, args.batch):
         # Pad the final chunk to the batch size → one compiled shape.
@@ -451,6 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("--spynet-checkpoint", default=None,
                     help="weights for --algo spynet (default: bundled "
                          "checkpoints/spynet_synthetic.msgpack)")
+    cf.add_argument("--no-bucket", action="store_true",
+                    help="compute flow at the exact native resolution "
+                         "instead of padding to the 64px shape ladder "
+                         "(slower first-run compile per new size)")
     cf.add_argument("--format", choices=["flo", "jpg"], default="flo")
     cf.add_argument("--bound", type=float, default=20.0)
     cf.add_argument("--batch", type=int, default=8)

@@ -211,9 +211,17 @@ def _level_sizes(h: int, w: int, cfg: FarnebackConfig):
 def _smooth_and_resize(img: jax.Array, scale: float,
                        out_hw: Tuple[int, int]) -> jax.Array:
     """OpenCV's per-level image prep: Gaussian blur with
-    sigma=(1/scale-1)*0.5 on the ORIGINAL image, then bilinear resize."""
+    sigma=(1/scale-1)*0.5 on the ORIGINAL image, then bilinear resize.
+
+    At the finest level sigma is 0, but cv2 clamps the kernel size to a
+    minimum of 3 and getGaussianKernel(3, 0) returns the fixed
+    [0.25, 0.5, 0.25] tap — i.e. cv2 ALWAYS pre-blurs, including at
+    full resolution (found empirically: restores interior single-
+    iteration parity from ~0.08px to ~0.017px)."""
     if scale >= 1.0:
-        return img
+        k = jnp.asarray(np.array([0.25, 0.5, 0.25], np.float32))
+        from video_analytics_tpu.ops.kernels import sepcorr
+        return sepcorr(img, k, k, border="reflect")
     sigma = (1.0 / scale - 1.0) * 0.5
     sm = gaussian_blur(img, sigma)
     return resize_area_like(sm, out_hw)
