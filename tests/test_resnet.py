@@ -50,6 +50,30 @@ def test_feature_parity(torch_model, flax_variables, rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_resnet50_parity(rng):
+    """Bottleneck family: flax ResNet-50 vs the torch oracle with
+    converted weights (conv3/bn3 + expansion-4 downsample mapping)."""
+    from tests.torch_resnet import random_torch_resnet50
+    from video_analytics_tpu.models.resnet import resnet50
+
+    tm = random_torch_resnet50(seed=3)
+    variables = torch_resnet_to_flax(tm.state_dict(),
+                                     stage_sizes=(3, 4, 6, 3))
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ref_f = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   return_features=True).numpy()
+    model = resnet50()
+    assert model.feature_dim == 2048
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
+    ours_f = np.asarray(model.apply(variables, jnp.asarray(x),
+                                    return_features=True))
+    assert ours_f.shape == ref_f.shape == (2, 2048)
+    np.testing.assert_allclose(ours_f, ref_f, atol=5e-4, rtol=1e-4)
+
+
 def test_flow_stream_shapes(rng):
     model = flow_stream_resnet18(stack=10, num_classes=101)
     variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(64, 64))

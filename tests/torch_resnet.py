@@ -58,9 +58,66 @@ class TorchResNet18(nn.Module):
         return self.fc(x)
 
 
-def random_torch_resnet18(seed=0, num_classes=1000, in_channels=3):
-    torch.manual_seed(seed)
-    model = TorchResNet18(num_classes, in_channels)
+class TorchBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inp, width, stride=1):
+        super().__init__()
+        out = width * self.expansion
+        self.conv1 = nn.Conv2d(inp, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inp, out, 1, stride, bias=False),
+                nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        identity = x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(y + identity)
+
+
+class TorchResNet50(nn.Module):
+    def __init__(self, num_classes=1000, in_channels=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def stage(inp, width, blocks, stride):
+            layers = [TorchBottleneck(inp, width, stride)]
+            for _ in range(blocks - 1):
+                layers.append(TorchBottleneck(width * 4, width))
+            return nn.Sequential(*layers)
+
+        self.layer1 = stage(64, 64, 3, 1)
+        self.layer2 = stage(256, 128, 4, 2)
+        self.layer3 = stage(512, 256, 6, 2)
+        self.layer4 = stage(1024, 512, 3, 2)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x, return_features=False):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.avgpool(x).flatten(1)
+        if return_features:
+            return x
+        return self.fc(x)
+
+
+def _randomize_bn(model):
     # Randomise batchnorm running stats too, so conversion is tested
     # against non-trivial values.
     with torch.no_grad():
@@ -70,3 +127,13 @@ def random_torch_resnet18(seed=0, num_classes=1000, in_channels=3):
                 m.running_var.uniform_(0.5, 1.5)
     model.eval()
     return model
+
+
+def random_torch_resnet18(seed=0, num_classes=1000, in_channels=3):
+    torch.manual_seed(seed)
+    return _randomize_bn(TorchResNet18(num_classes, in_channels))
+
+
+def random_torch_resnet50(seed=0, num_classes=1000, in_channels=3):
+    torch.manual_seed(seed)
+    return _randomize_bn(TorchResNet50(num_classes, in_channels))

@@ -141,6 +141,10 @@ def _add_model_args(p, window: bool = True):
     """Args that determine the model/pipeline geometry — must match
     between `train` and whatever later loads its checkpoint."""
     p.add_argument("--num-classes", type=int, default=101)
+    p.add_argument("--arch",
+                   choices=["resnet18", "resnet34", "resnet50"],
+                   default="resnet18",
+                   help="backbone for both streams")
     p.add_argument("--flow-stack", type=int, default=10,
                    help="L consecutive flow fields per temporal input")
     p.add_argument("--crop", type=int, default=224)
@@ -154,11 +158,13 @@ def _add_model_args(p, window: bool = True):
 
 def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0,
                         width: int = 64,
-                        input_hw: Tuple[int, int] = (224, 224)):
+                        input_hw: Tuple[int, int] = (224, 224),
+                        arch: str = "resnet18"):
     import jax
     from video_analytics_tpu.models.two_stream import TwoStreamModel
     model = TwoStreamModel.create(num_classes=num_classes,
-                                  flow_stack=flow_stack, width=width)
+                                  flow_stack=flow_stack, width=width,
+                                  arch=arch)
     variables = model.init_variables(jax.random.PRNGKey(seed),
                                      input_hw=input_hw)
     return model, variables
@@ -166,10 +172,12 @@ def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0,
 
 def _load_two_stream(checkpoint: Optional[str], num_classes: int,
                      flow_stack: int, width: int = 64,
-                     input_hw: Tuple[int, int] = (224, 224)):
+                     input_hw: Tuple[int, int] = (224, 224),
+                     arch: str = "resnet18"):
     from video_analytics_tpu.runtime.checkpoint import load_variables
     model, variables = _default_two_stream(num_classes, flow_stack,
-                                           width=width, input_hw=input_hw)
+                                           width=width, input_hw=input_hw,
+                                           arch=arch)
     if checkpoint:
         variables = load_variables(checkpoint, variables)
     return model, variables
@@ -195,7 +203,8 @@ def cmd_extract_features(args) -> int:
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
-        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
+        arch=args.arch)
 
     out = {}
     if _is_flow_dir(args.src):
@@ -264,7 +273,8 @@ def cmd_classify_clip(args) -> int:
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
-        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
+        arch=args.arch)
 
     classes: Optional[List[str]] = None
     if args.class_index:
@@ -297,7 +307,8 @@ def cmd_eval_ucf101(args) -> int:
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
-        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
+        arch=args.arch)
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
                 split=args.split)
     if args.batched:
@@ -354,7 +365,8 @@ def cmd_train(args) -> int:
     records = ds.train_records()
     model, variables = _default_two_stream(
         args.num_classes, cfg.preprocess.flow_stack, seed=args.seed,
-        width=args.width, input_hw=(cfg.preprocess.crop,) * 2)
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
+        arch=args.arch)
     if args.init_checkpoint:
         variables = load_variables(args.init_checkpoint, variables)
     tx = optax.sgd(args.lr, momentum=0.9)

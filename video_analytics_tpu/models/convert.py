@@ -44,9 +44,15 @@ def _bn(prefix: str, sd: Mapping[str, Any], params: Dict, stats: Dict,
 def torch_resnet_to_flax(sd: Mapping[str, Any],
                          stage_sizes=(2, 2, 2, 2),
                          include_fc: bool = True) -> Dict[str, Dict]:
-    """state_dict (torch tensors or numpy) → {'params':…,'batch_stats':…}."""
+    """state_dict (torch tensors or numpy) → {'params':…,'batch_stats':…}.
+
+    Handles both BasicBlock (18/34) and Bottleneck (50/101/152)
+    checkpoints — the block type is detected from the presence of
+    ``layer1.0.conv3.weight``.
+    """
     sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
           for k, v in sd.items()}
+    bottleneck = "layer1.0.conv3.weight" in sd
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
@@ -61,6 +67,9 @@ def torch_resnet_to_flax(sd: Mapping[str, Any],
             _bn(t + ".bn1", sd, bp, bs, "bn1")
             bp["conv2"] = {"kernel": _conv(sd[t + ".conv2.weight"])}
             _bn(t + ".bn2", sd, bp, bs, "bn2")
+            if bottleneck:
+                bp["conv3"] = {"kernel": _conv(sd[t + ".conv3.weight"])}
+                _bn(t + ".bn3", sd, bp, bs, "bn3")
             if t + ".downsample.0.weight" in sd:
                 bp["downsample_conv"] = {
                     "kernel": _conv(sd[t + ".downsample.0.weight"])}

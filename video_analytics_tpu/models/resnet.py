@@ -55,20 +55,60 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class BottleneckBlock(nn.Module):
+    """torchvision Bottleneck (ResNet-50/101/152 family, v1.5: the
+    stride sits on the 3x3 conv2).  Output channels = filters * 4."""
+
+    filters: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        out_ch = self.filters * self.expansion
+        residual = x
+        y = conv(self.filters, (1, 1), name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.filters, (3, 3),
+                 strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = nn.relu(norm(name="bn2")(y))
+        y = conv(out_ch, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            residual = conv(out_ch, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class ResNet(nn.Module):
-    """torchvision-compatible ResNet with BasicBlocks (18/34 family)."""
+    """torchvision-compatible ResNet (18/34 BasicBlock, 50/101/152
+    Bottleneck families)."""
 
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     num_classes: int = 1000
     in_channels: int = 3            # 3 for RGB, 2L for the flow stream
     width: int = 64
     dtype: Any = jnp.float32
+    bottleneck: bool = False
+
+    @property
+    def feature_dim(self) -> int:
+        return self.width * 8 * (4 if self.bottleneck else 1)
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_features: bool = False):
-        """(N, H, W, in_channels) → logits (N, num_classes) or 512-d
-        penultimate features when return_features=True."""
+        """(N, H, W, in_channels) → logits (N, num_classes) or
+        feature_dim penultimate features when return_features=True."""
         if x.shape[-1] != self.in_channels:
             raise ValueError(
                 f"expected {self.in_channels} input channels, got {x.shape}")
@@ -84,14 +124,15 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
+        block_cls = BottleneckBlock if self.bottleneck else BasicBlock
         for stage, num_blocks in enumerate(self.stage_sizes):
             filters = self.width * (2 ** stage)
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = BasicBlock(filters, strides, dtype=self.dtype,
-                               name=f"layer{stage + 1}_{block}")(
+                x = block_cls(filters, strides, dtype=self.dtype,
+                              name=f"layer{stage + 1}_{block}")(
                     x, train=train)
-        x = jnp.mean(x, axis=(1, 2))       # global average pool → (N, 512)
+        x = jnp.mean(x, axis=(1, 2))       # global average pool
         features = x.astype(jnp.float32)
         if return_features:
             return features
@@ -110,6 +151,13 @@ def resnet34(num_classes: int = 1000, in_channels: int = 3,
              dtype: Any = jnp.float32, width: int = 64) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
                   in_channels=in_channels, dtype=dtype, width=width)
+
+
+def resnet50(num_classes: int = 1000, in_channels: int = 3,
+             dtype: Any = jnp.float32, width: int = 64) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+                  in_channels=in_channels, dtype=dtype, width=width,
+                  bottleneck=True)
 
 
 def flow_stream_resnet18(stack: int = 10, num_classes: int = 101,

@@ -38,13 +38,20 @@ class TwoStreamModel:
     def create(cls, num_classes: int = 101, flow_stack: int = 10,
                fusion_weights: Tuple[float, float] = (1.0, 1.5),
                dtype: Any = jnp.float32,
-               width: int = 64) -> "TwoStreamModel":
+               width: int = 64,
+               arch: str = "resnet18") -> "TwoStreamModel":
+        from video_analytics_tpu.models.resnet import resnet34, resnet50
+        builders = {"resnet18": resnet18, "resnet34": resnet34,
+                    "resnet50": resnet50}
+        if arch not in builders:
+            raise ValueError(f"unknown arch {arch!r}; "
+                             f"choose from {sorted(builders)}")
+        build = builders[arch]
         return cls(
-            spatial=resnet18(num_classes=num_classes, dtype=dtype,
-                             width=width),
-            temporal=flow_stream_resnet18(stack=flow_stack,
-                                          num_classes=num_classes,
-                                          dtype=dtype, width=width),
+            spatial=build(num_classes=num_classes, dtype=dtype,
+                          width=width),
+            temporal=build(num_classes=num_classes, dtype=dtype,
+                           width=width, in_channels=2 * flow_stack),
             fusion_weights=fusion_weights,
         )
 
