@@ -55,6 +55,26 @@ def test_multiwindow_average(tmp_path):
     assert not np.allclose(p1, p3)  # different snippets contribute
 
 
+def test_host_resize_matches_device_resize(tmp_path):
+    """Host-side pre-resize (ingest bandwidth lever) must be numerics-
+    matched to the on-device resize_short_side."""
+    import jax.numpy as jnp
+    from video_analytics_tpu.ingest import host_resize_short
+    from video_analytics_tpu.ops import preprocess as pp
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (3, 300, 400, 3)).astype(np.uint8)
+    host = host_resize_short(frames, 256)
+    dev = np.asarray(pp.resize_short_side(jnp.asarray(frames), 256))
+    assert host.shape == dev.shape == (3, 256, 341, 3)
+    # cv2 rounds to uint8; the float device path must agree within
+    # that quantisation.
+    assert np.abs(host.astype(np.float32) - dev).max() <= 1.0
+    # No-op below the target size.
+    small = rng.integers(0, 255, (2, 120, 160, 3)).astype(np.uint8)
+    assert host_resize_short(small, 256) is small
+
+
 def test_evaluate_batched(tmp_path):
     """Batched+prefetched eval matches the per-clip driver's protocol."""
     import jax

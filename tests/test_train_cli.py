@@ -87,3 +87,16 @@ def test_eval_ucf101_cli_runs(tmp_path, mini_ucf, capsys):
     assert res["total"] == 2 and 0.0 <= res["top1"] <= 1.0
     preds = [json.loads(l) for l in open(tmp_path / "preds.jsonl")]
     assert len(preds) == 2
+
+
+def test_eval_ucf101_cli_batched(mini_ucf, capsys):
+    """The throughput path: prefetched decode, batched launches over
+    the fake 8-device mesh, device-side accuracy reduction."""
+    videos, ann = mini_ucf
+    rc = main(["eval-ucf101", "--videos", videos, "--annotations", ann,
+               "--num-classes", "2", "--algo", "farneback",
+               "--batched", "--batch-clips", "4", "--windows", "2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 4 and res["failed"] == 0
+    assert 0.0 <= res["top1"] <= 1.0

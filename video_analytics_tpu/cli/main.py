@@ -320,6 +320,7 @@ def cmd_eval_ucf101(args) -> int:
         result = evaluate_batched(
             records, variables, model, cfg,
             batch_clips=args.batch_clips, num_windows=args.windows,
+            host_resize=True,
             mesh=make_mesh() if len(__import__("jax").devices()) > 1
             else None)
     else:

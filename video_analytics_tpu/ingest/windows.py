@@ -37,3 +37,27 @@ def sliding_windows(frames: np.ndarray, window: int,
         return
     for s in window_starts(t, window, stride):
         yield frames[s:s + window]
+
+
+def host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
+    """(T, H, W, 3) uint8 → short side == `short` via cv2 on host.
+
+    Bandwidth lever for high-resolution streams: the pipeline only ever
+    consumes resize_short-resolution pixels, so resizing BEFORE the
+    host→HBM transfer cuts the transfer ~ (H/short)² (e.g. 17x for
+    1080p → 256) at the cost of host CPU the decode thread already
+    owns.  Semantics match the on-device resize_short_side (cv2
+    INTER_LINEAR, half-pixel centers), so downstream device-side
+    resize is a no-op and crops are unchanged.
+    """
+    import cv2
+    h, w = frames.shape[1:3]
+    if min(h, w) <= short:
+        return frames
+    if h <= w:
+        nh, nw = short, max(1, int(round(w * short / h)))
+    else:
+        nh, nw = max(1, int(round(h * short / w))), short
+    return np.stack([
+        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        for f in frames])

@@ -126,10 +126,17 @@ def init_spynet(model: SpyNet, key: jax.Array,
 # Synthetic-motion training (no external data needed)
 # ---------------------------------------------------------------------------
 
-def synthetic_pair(key: jax.Array, batch: int, h: int, w: int):
-    """Random band-limited images + random affine-ish smooth flows;
-    returns (prev, nxt, gt_flow) with nxt ≈ warp of prev."""
-    k1, k2, k3 = jax.random.split(key, 3)
+def synthetic_pair(key: jax.Array, batch: int, h: int, w: int,
+                   local_blobs: int = 0):
+    """Random band-limited images + random smooth flows; returns
+    (prev, nxt, gt_flow) with nxt ≈ warp of prev.
+
+    local_blobs > 0 adds that many Gaussian-windowed local translations
+    on top of the global affine field — the moving-object regime real
+    action video lives in (a foreground moving against a differently-
+    moving background), which pure affine training misses.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     base = jax.random.uniform(k1, (batch, h + 16, w + 16), minval=0.0,
                               maxval=255.0)
     from video_analytics_tpu.ops.kernels import gaussian_blur
@@ -147,6 +154,22 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int):
     xx = jax.lax.broadcasted_iota(jnp.float32, (batch, h, w), 2) / w - 0.5
     a = jax.random.uniform(k3, (batch, 1, 1, 2), minval=-1.0, maxval=1.0)
     gt = t + a * jnp.stack([xx, yy], axis=-1)
+    if local_blobs:
+        kc, ks, ku = jax.random.split(k4, 3)
+        cs = jax.random.uniform(kc, (batch, local_blobs, 2),
+                                minval=0.15, maxval=0.85)
+        sig = jax.random.uniform(ks, (batch, local_blobs, 1, 1),
+                                 minval=0.06, maxval=0.2)
+        us = jax.random.uniform(ku, (batch, local_blobs, 1, 1, 2),
+                                minval=-3.0, maxval=3.0)
+        # Normalised pixel coords (batch, h, w).
+        px = xx + 0.5
+        py = yy + 0.5
+        for i in range(local_blobs):
+            d2 = ((px - cs[:, i, 0, None, None]) ** 2
+                  + (py - cs[:, i, 1, None, None]) ** 2)
+            wgt = jnp.exp(-d2 / (2.0 * sig[:, i] ** 2))
+            gt = gt + wgt[..., None] * us[:, i]
     # Convention (matches farneback/tvl1): prev(p) ≈ nxt(p + flow(p)),
     # i.e. warp_by_flow(nxt, flow) ≈ prev.  Generating nxt by warping
     # the base with -gt gives exactly flow = gt as the label.
@@ -156,7 +179,9 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int):
     return prev, nxt, gt
 
 
-def make_spynet_train_step(model: SpyNet, tx):
+def make_spynet_train_step(model: SpyNet, tx, batch: int = 8,
+                           hw: Tuple[int, int] = (64, 64),
+                           local_blobs: int = 0):
     """EPE loss with deep supervision over levels."""
     import optax
 
@@ -176,7 +201,8 @@ def make_spynet_train_step(model: SpyNet, tx):
 
     @jax.jit
     def step(params, opt_state, key):
-        prev, nxt, gt = synthetic_pair(key, 8, 64, 64)
+        prev, nxt, gt = synthetic_pair(key, batch, *hw,
+                                       local_blobs=local_blobs)
         (loss, epe), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, prev, nxt, gt)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -106,7 +106,8 @@ def evaluate_batched(records: List[ClipRecord], variables,
                      num_workers: int = 2,
                      mesh=None,
                      max_frames: int = 300,
-                     num_windows: int = 1) -> EvalResult:
+                     num_windows: int = 1,
+                     host_resize: bool = False) -> EvalResult:
     """Throughput-oriented eval: threaded decode (ingest.prefetch_clips)
     → `num_windows` evenly-spaced snippet windows per clip → batches of
     `batch_clips` clips per launch (amortises dispatch), optionally
@@ -133,6 +134,13 @@ def evaluate_batched(records: List[ClipRecord], variables,
     def loader(path):
         with VideoReader(path) as r:
             frames = r.read_all(max_frames=max_frames)
+        if host_resize:
+            # Pre-resize in the decode worker: numerics-matched to the
+            # device resize (cv2 INTER_LINEAR parity), cuts host→HBM
+            # bandwidth ~(H/short)² for high-res clips.
+            from video_analytics_tpu.ingest import host_resize_short
+            frames = host_resize_short(frames,
+                                       cfg.preprocess.resize_short)
         t = len(frames)
         if num_windows <= 1 or t <= win:
             wins = frames[sample_window(t, win)][None]
