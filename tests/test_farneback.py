@@ -1,9 +1,12 @@
 """Farneback parity vs the cv2 oracle (BASELINE.json config #2:
 flow-field L2 parity).
 
-Tolerances: interior EPE is sub-0.01px on smooth content; whole-field
-relative L2 is bounded by border/occlusion bands where dense flow is
-ill-posed and implementations legitimately diverge.
+Since r2 the implementation reproduces cv2's exact numerics — the
+regularised 2x2 solve (1/(det+1e-3)) and the out-of-bounds warp branch
+(A:=A0, Δb:=b0/2 outside cv2's floor-based interior test) — so parity
+is gated at near-bitwise tolerances ACROSS THE WHOLE FIELD, borders
+included, for every config (box + Gaussian window, poly 5/7, win 9/15,
+pyr_scale 0.5/0.8, multi-level pyramids).
 """
 
 import cv2
@@ -15,12 +18,17 @@ from tests.fixtures import smooth_pair
 from video_analytics_tpu.config import FarnebackConfig
 from video_analytics_tpu.flow import farneback, farneback_jit
 
+# f32 accumulation-order noise bound: cv2 and XLA sum in different
+# orders; observed max EPE ~1e-5 on 96x128, gate with 30x headroom.
+EXACT = 3e-4
 
-def _compare(u1, u2, cfg: FarnebackConfig, cv_args, cv_flags=0):
+
+def _compare(u1, u2, cfg: FarnebackConfig, cv_args, cv_flags=0,
+             **kw):
     ref = cv2.calcOpticalFlowFarneback(u1, u2, None, *cv_args, cv_flags)
     ours = np.asarray(farneback(
         jnp.asarray(u1[None].astype(np.float32)),
-        jnp.asarray(u2[None].astype(np.float32)), cfg))[0]
+        jnp.asarray(u2[None].astype(np.float32)), cfg, **kw))[0]
     epe = np.linalg.norm(ours - ref, axis=-1)
     rel_l2 = np.linalg.norm(ours - ref) / max(np.linalg.norm(ref), 1e-9)
     return ref, ours, epe, rel_l2
@@ -36,8 +44,8 @@ def test_default_config_parity(pair):
     u1, u2 = pair
     ref, ours, epe, rel = _compare(
         u1, u2, FarnebackConfig(), (0.5, 3, 15, 3, 5, 1.2))
-    assert rel < 0.02, rel
-    assert epe[8:-8, 8:-8].mean() < 0.003
+    assert epe.max() < EXACT, epe.max()
+    assert rel < 1e-4, rel
     # Flow direction/magnitude sanity: known translation (2.3, -1.1).
     mean_flow = ours.reshape(-1, 2).mean(0)
     np.testing.assert_allclose(mean_flow, [2.3, -1.1], atol=0.25)
@@ -48,29 +56,34 @@ def test_poly7_parity(pair):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(poly_n=7, poly_sigma=1.5),
         (0.5, 3, 15, 3, 7, 1.5))
-    assert rel < 0.03, rel
-    assert epe[8:-8, 8:-8].mean() < 0.005
+    assert epe.max() < EXACT, epe.max()
 
 
 def test_small_window_parity(pair):
     u1, u2 = pair
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(winsize=9), (0.5, 3, 9, 3, 5, 1.2))
-    assert rel < 0.10, rel
-    assert epe[8:-8, 8:-8].mean() < 0.003
+    assert epe.max() < EXACT, epe.max()
 
 
-def test_gaussian_window_interior_parity(pair):
-    # cv2's Gaussian-window path treats the border band differently;
-    # interior parity is what we gate on.
+def test_gaussian_window_parity(pair):
+    """OPTFLOW_FARNEBACK_GAUSSIAN, exact to the border (was the r1
+    known gap: interior-only at rel<0.15)."""
     u1, u2 = pair
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(gaussian_window=True),
         (0.5, 3, 15, 3, 5, 1.2), cv2.OPTFLOW_FARNEBACK_GAUSSIAN)
-    # r2: the finest-level 3-tap pre-blur fix brought the interior from
-    # ~0.02px to ~0.001px; only the border band still differs from cv2.
-    assert epe[8:-8, 8:-8].mean() < 0.003
-    assert rel < 0.11
+    assert epe.max() < EXACT, epe.max()
+    assert rel < 1e-4, rel
+
+
+def test_single_iteration_parity(pair):
+    """One iteration exposes the raw update+blur+solve chain with no
+    fixed-point contraction hiding differences."""
+    u1, u2 = pair
+    _, _, epe, rel = _compare(
+        u1, u2, FarnebackConfig(iterations=1), (0.5, 3, 15, 1, 5, 1.2))
+    assert epe.max() < EXACT, epe.max()
 
 
 def test_large_motion_pyramid(rng):
@@ -78,7 +91,7 @@ def test_large_motion_pyramid(rng):
     u1, u2 = f1.astype(np.uint8), f2.astype(np.uint8)
     ref, ours, epe, rel = _compare(
         u1, u2, FarnebackConfig(), (0.5, 3, 15, 3, 5, 1.2))
-    assert rel < 0.08, rel
+    assert epe.max() < 1e-3, epe.max()
     # Interior recovers the 9px translation despite exceeding winsize.
     inner = ours[16:-16, 16:-16].reshape(-1, 2).mean(0)
     np.testing.assert_allclose(inner, [9.0, -6.0], atol=0.5)
@@ -90,7 +103,7 @@ def test_nondefault_pyr_scale(rng):
     _, _, epe, rel = _compare(
         u1, u2, FarnebackConfig(pyr_scale=0.8, levels=5),
         (0.8, 5, 15, 3, 5, 1.2))
-    assert rel < 0.025, rel
+    assert epe.max() < EXACT, epe.max()
 
 
 def test_batched_and_jit(pair):
@@ -116,7 +129,11 @@ def test_use_initial_flow(pair):
 
 def test_pallas_warp_pipeline_parity(pair):
     """The Pallas banded warp (forced on) must not change cv2 parity —
-    this is the gate that licenses the separable approximation."""
+    this is the gate that licenses the separable approximation.
+
+    The Pallas warp is exact per-axis but approximate where vertical
+    flow varies within a band, so this keeps the looser r1 gate rather
+    than the EXACT one."""
     u1, u2 = pair
     ref = cv2.calcOpticalFlowFarneback(u1, u2, None, 0.5, 3, 15, 3, 5,
                                        1.2, 0)

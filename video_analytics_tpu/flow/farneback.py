@@ -129,6 +129,13 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
     which box-blurred Farneback flow is; parity vs cv2 is gated in
     tests with the kernel enabled.  Set use_pallas=False to force the
     exact XLA gather (~50x slower on TPU).
+
+    Out-of-bounds semantics mirror cv2's FarnebackUpdateMatrices
+    exactly: where floor(p + flow) leaves [0, size-2] on either axis
+    (which includes the exact last row/column even at zero flow, since
+    cv2's interior test is floor(fy) < height-1), the warped expansion
+    is discarded and A := A0, Δb := b0/2 — derived empirically to
+    bit-level flow parity on both window types (see tests).
     """
     from video_analytics_tpu.ops.pallas.warp import (
         pallas_warp, warp_fits_vmem)
@@ -145,11 +152,20 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
         xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
         R1w = bilinear_sample(R1, yy + dy, xx + dx)
 
-    a11 = (R0[..., 2] + R1w[..., 2]) * 0.5
-    a22 = (R0[..., 3] + R1w[..., 3]) * 0.5
-    a12 = (R0[..., 4] + R1w[..., 4]) * 0.25
-    dbx = (R0[..., 0] - R1w[..., 0]) * 0.5 + a11 * dx + a12 * dy
-    dby = (R0[..., 1] - R1w[..., 1]) * 0.5 + a12 * dx + a22 * dy
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    x1 = jnp.floor(xx + dx)
+    y1 = jnp.floor(yy + dy)
+    inb = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
+
+    a11 = jnp.where(inb, (R0[..., 2] + R1w[..., 2]) * 0.5, R0[..., 2])
+    a22 = jnp.where(inb, (R0[..., 3] + R1w[..., 3]) * 0.5, R0[..., 3])
+    a12 = jnp.where(inb, (R0[..., 4] + R1w[..., 4]) * 0.25,
+                    R0[..., 4] * 0.5)
+    b1w = jnp.where(inb, R1w[..., 0], 0.0)
+    b2w = jnp.where(inb, R1w[..., 1], 0.0)
+    dbx = (R0[..., 0] - b1w) * 0.5 + a11 * dx + a12 * dy
+    dby = (R0[..., 1] - b2w) * 0.5 + a12 * dx + a22 * dy
 
     # cv2-style border attenuation: entries within 5px of the frame are
     # down-weighted so the window average trusts interior pixels more.
@@ -166,9 +182,15 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
 
 
 def _solve_flow(M: jax.Array) -> jax.Array:
+    """2x2 solve with cv2's regularised inverse 1/(det + 1e-3).
+
+    det = (a11·a22 - a12²)² ≥ 0, so the +1e-3 is a pure Tikhonov-style
+    damping: near borders cv2's attenuation shrinks det by scale⁴ and
+    the regulariser dominates, damping the flow toward 0 — reproducing
+    this (rather than a thresholded true inverse) is what closes the
+    border band to exact cv2 parity."""
     g11, g12, g22, h1, h2 = (M[..., i] for i in range(5))
-    det = g11 * g22 - g12 * g12
-    idet = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     fx = (g22 * h1 - g12 * h2) * idet
     fy = (g11 * h2 - g12 * h1) * idet
     return jnp.stack([fx, fy], axis=-1)

@@ -168,8 +168,8 @@ def update_flow_pallas(M: jax.Array,
     plan = tuple((c, taps) for c in range(5))
     blurred = sep_corr2d_pallas(Mcf, plan, plan)
     g11, g12, g22, h1, h2 = (blurred[:, i] for i in range(5))
-    det = g11 * g22 - g12 * g12
-    idet = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    # cv2's regularised inverse (see flow.farneback._solve_flow).
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     fx = (g22 * h1 - g12 * h2) * idet
     fy = (g11 * h2 - g12 * h1) * idet
     return jnp.stack([fx, fy], axis=-1)
