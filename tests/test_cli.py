@@ -144,3 +144,43 @@ def test_extract_features_rgb_from_flow_dir_errors(tmp_path, capsys):
     rc = main(["extract-features", str(d), str(tmp_path / "o.npz"),
                "--stream", "rgb"])
     assert rc == 2
+
+
+def test_compute_flow_cv2_param_surface(tmp_path, tiny_clip, capsys):
+    """The full cv2 parameter surface is CLI-exposed (--fb-*) and
+    actually reaches the algorithm: a gaussian-window smaller-winsize
+    run differs from the default-params run.  (Numeric parity at these
+    params is gated on controlled inputs in test_farneback.py — the CLI
+    feeds float32 gray while the cv2 binding only takes uint8, so an
+    oracle comparison here would measure input rounding, not flags.)"""
+    d1, d2 = str(tmp_path / "fp1"), str(tmp_path / "fp2")
+    rc1, _ = run_cli(capsys, [
+        "compute-flow", tiny_clip, d1, "--algo", "farneback",
+        "--max-frames", "3", "--batch", "2", "--no-bucket"])
+    rc2, res = run_cli(capsys, [
+        "compute-flow", tiny_clip, d2, "--algo", "farneback",
+        "--max-frames", "3", "--batch", "2", "--no-bucket",
+        "--fb-winsize", "9", "--fb-gaussian", "--fb-iterations", "2"])
+    assert rc1 == 0 and rc2 == 0 and res["flows"] == 2
+    a = read_flo(os.path.join(d1, "flow_000001.flo"))
+    b = read_flo(os.path.join(d2, "flow_000001.flo"))
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_tvl1_params_reach_algorithm(tmp_path, tiny_clip, capsys):
+    """--tv-* args change the output (cheap config vs default)."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    rc1, _ = run_cli(capsys, [
+        "compute-flow", tiny_clip, d1, "--algo", "tvl1",
+        "--max-frames", "2", "--batch", "1", "--no-bucket",
+        "--tv-nscales", "1", "--tv-warps", "1", "--tv-inner", "2",
+        "--tv-outer", "1", "--tv-median", "0"])
+    rc2, _ = run_cli(capsys, [
+        "compute-flow", tiny_clip, d2, "--algo", "tvl1",
+        "--max-frames", "2", "--batch", "1", "--no-bucket",
+        "--tv-nscales", "2", "--tv-warps", "2", "--tv-inner", "4",
+        "--tv-outer", "2", "--tv-median", "3"])
+    assert rc1 == 0 and rc2 == 0
+    a = read_flo(os.path.join(d1, "flow_000001.flo"))
+    b = read_flo(os.path.join(d2, "flow_000001.flo"))
+    assert np.abs(a - b).max() > 1e-6

@@ -67,7 +67,11 @@ def trained():
                                   width=WIDTH)
     variables = model.init_variables(
         jax.random.PRNGKey(0), input_hw=(CFG.preprocess.crop,) * 2)
-    tx = optax.sgd(0.05, momentum=0.9)
+    # Cosine-decayed lr: a fixed hot lr oscillates near the end of the
+    # short run (held-out acc bounced 0.83→0.50→0.67 across late steps)
+    # while decay converges it; exposed after the r2 exact-cv2 Farneback
+    # numerics slightly changed the flow inputs.
+    tx = optax.sgd(optax.cosine_decay_schedule(0.05, 80), momentum=0.9)
     states = create_two_stream_states(model, variables, tx, "both")
     steps = make_two_stream_train_steps(model, tx, "both")
 
@@ -124,10 +128,15 @@ def test_checkpoint_roundtrip_through_classify_clip(trained, tmp_path,
                    "--crop", str(CFG.preprocess.crop),
                    "--resize-short", str(CFG.preprocess.resize_short),
                    "--width", str(WIDTH), "--window", str(CFG.window),
-                   "--algo", "farneback"])
+                   "--algo", "farneback",
+                   # match the training-time flow params through the
+                   # CLI's cv2 parameter surface (--fb-*)
+                   "--fb-levels", str(CFG.farneback.levels),
+                   "--fb-iterations", str(CFG.farneback.iterations),
+                   "--fb-winsize", str(CFG.farneback.winsize)])
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         correct += int(res["top1"] == label)
-    # mp4 encode adds noise and the CLI uses default Farneback params;
-    # require strictly above chance on the 3 probes.
+    # mp4 encode adds noise; require strictly above chance on the 3
+    # probes.
     assert correct >= 2, f"classify-clip got {correct}/3"

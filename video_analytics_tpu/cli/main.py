@@ -81,7 +81,8 @@ def cmd_compute_flow(args) -> int:
         base = jax.jit(lambda a, b: model.apply(
             {"params": weights["params"]}, a, b))
     else:
-        cfg = PipelineConfig(flow_algo=args.algo)
+        fb, tv = _flow_configs(args)
+        cfg = PipelineConfig(flow_algo=args.algo, farneback=fb, tvl1=tv)
         base = jax.jit(lambda a, b: compute_flow(a, b, cfg))
     if args.no_bucket:
         fn = base
@@ -122,6 +123,55 @@ def cmd_compute_flow(args) -> int:
 # extract-features
 # ---------------------------------------------------------------------------
 
+def _flow_configs(args):
+    """(FarnebackConfig, TVL1Config) from the optional algorithm args
+    (_add_flow_args); absent args keep the cv2 defaults."""
+    from video_analytics_tpu.config import FarnebackConfig, TVL1Config
+    g = lambda n, d: getattr(args, n, None) if getattr(args, n, None) \
+        is not None else d
+    fb = FarnebackConfig(
+        pyr_scale=g("fb_pyr_scale", 0.5), levels=g("fb_levels", 3),
+        winsize=g("fb_winsize", 15), iterations=g("fb_iterations", 3),
+        poly_n=g("fb_poly_n", 5), poly_sigma=g("fb_poly_sigma", 1.2),
+        gaussian_window=bool(getattr(args, "fb_gaussian", False)))
+    tv = TVL1Config(
+        tau=g("tv_tau", 0.25), lambda_=g("tv_lambda", 0.15),
+        theta=g("tv_theta", 0.3), nscales=g("tv_nscales", 5),
+        warps=g("tv_warps", 5), epsilon=g("tv_epsilon", 0.01),
+        inner_iterations=g("tv_inner", 30), outer_iterations=g("tv_outer", 10),
+        scale_step=g("tv_scale_step", 0.8),
+        median_filtering=g("tv_median", 5))
+    return fb, tv
+
+
+def _add_flow_args(p):
+    """The cv2 flow-parameter surface (calcOpticalFlowFarneback /
+    DualTVL1OpticalFlow_create), exposed per algorithm with cv2's
+    defaults; SURVEY.md §3.2."""
+    fb = p.add_argument_group("farneback (cv2.calcOpticalFlowFarneback)")
+    fb.add_argument("--fb-pyr-scale", type=float, default=None)
+    fb.add_argument("--fb-levels", type=int, default=None)
+    fb.add_argument("--fb-winsize", type=int, default=None)
+    fb.add_argument("--fb-iterations", type=int, default=None)
+    fb.add_argument("--fb-poly-n", type=int, default=None)
+    fb.add_argument("--fb-poly-sigma", type=float, default=None)
+    fb.add_argument("--fb-gaussian", action="store_true",
+                    help="cv2.OPTFLOW_FARNEBACK_GAUSSIAN window")
+    tv = p.add_argument_group("tvl1 (cv2 DualTVL1OpticalFlow defaults)")
+    tv.add_argument("--tv-tau", type=float, default=None)
+    tv.add_argument("--tv-lambda", dest="tv_lambda", type=float,
+                    default=None)
+    tv.add_argument("--tv-theta", type=float, default=None)
+    tv.add_argument("--tv-nscales", type=int, default=None)
+    tv.add_argument("--tv-warps", type=int, default=None)
+    tv.add_argument("--tv-epsilon", type=float, default=None)
+    tv.add_argument("--tv-inner", type=int, default=None)
+    tv.add_argument("--tv-outer", type=int, default=None)
+    tv.add_argument("--tv-scale-step", type=float, default=None)
+    tv.add_argument("--tv-median", type=int, default=None,
+                    help="median kernel between warps (0/1/3/5)")
+
+
 def _pipeline_config(args):
     """Build a PipelineConfig from the shared model/preprocess args
     (_add_model_args); fields not exposed keep their defaults."""
@@ -129,7 +179,9 @@ def _pipeline_config(args):
     from video_analytics_tpu.config import PipelineConfig, PreprocessConfig
     pre = PreprocessConfig(resize_short=args.resize_short, crop=args.crop,
                            flow_stack=args.flow_stack)
-    kw = dict(preprocess=pre, num_classes=args.num_classes)
+    fb, tv = _flow_configs(args)
+    kw = dict(preprocess=pre, num_classes=args.num_classes,
+              farneback=fb, tvl1=tv)
     if getattr(args, "algo", None) in ("tvl1", "farneback"):
         kw["flow_algo"] = args.algo
     if getattr(args, "window", None) is not None:
@@ -359,8 +411,16 @@ def cmd_train(args) -> int:
     from video_analytics_tpu.utils.logging import get_logger
     import numpy as np
 
+    import dataclasses as _dc
+
     log = get_logger("tpuva.train")
     cfg = _pipeline_config(args)
+    # Training-time augmentation: random crop always; horizontal flip
+    # by default (UCF101 actions are flip-invariant) unless --no-flip
+    # (direction-sensitive label sets — flipped frames negate flow-u).
+    cfg = _dc.replace(cfg, preprocess=_dc.replace(
+        cfg.preprocess, random_crop=True,
+        random_flip=not getattr(args, "no_flip", False)))
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
                 split=args.split)
     records = ds.train_records()
@@ -480,6 +540,7 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("--bound", type=float, default=20.0)
     cf.add_argument("--batch", type=int, default=8)
     cf.add_argument("--max-frames", type=int, default=None)
+    _add_flow_args(cf)
     cf.set_defaults(fn=cmd_compute_flow)
 
     xf = sub.add_parser("extract-features",
@@ -495,6 +556,7 @@ def build_parser() -> argparse.ArgumentParser:
     xf.add_argument("--max-frames", type=int, default=None)
     xf.add_argument("--bound", type=float, default=20.0,
                     help="dequantization bound for stored uint8 flow")
+    _add_flow_args(xf)
     xf.set_defaults(fn=cmd_extract_features)
 
     cc = sub.add_parser("classify-clip",
@@ -508,6 +570,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(cc)
     cc.add_argument("--topk", type=int, default=5)
     cc.add_argument("--windows", type=int, default=1)
+    _add_flow_args(cc)
     cc.set_defaults(fn=cmd_classify_clip)
 
     ev = sub.add_parser("eval-ucf101", help="UCF101 split eval")
@@ -528,6 +591,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "launches, mesh-sharded with on-device "
                          "accuracy reduction")
     ev.add_argument("--batch-clips", type=int, default=8)
+    _add_flow_args(ev)
     ev.set_defaults(fn=cmd_eval_ucf101)
 
     tr = sub.add_parser("train",
@@ -549,8 +613,13 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--steps", type=int, default=1000)
     tr.add_argument("--lr", type=float, default=1e-3)
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--no-flip", action="store_true",
+                    help="disable horizontal-flip augmentation (needed "
+                         "for direction-sensitive label sets: flipping "
+                         "frames negates the flow u channel)")
     tr.add_argument("--init-checkpoint", default=None)
     tr.add_argument("--log-every", type=int, default=20)
+    _add_flow_args(tr)
     tr.set_defaults(fn=cmd_train)
     return p
 

@@ -56,9 +56,16 @@ def build_examples(windows: jax.Array, key: jax.Array,
     L = cfg.preprocess.flow_stack
     x = pp.resize_short_side(windows, cfg.preprocess.resize_short)
     keys = jax.random.split(key, B)
+    # Horizontal flip only when the config asks for it: flipping frames
+    # negates the flow's u channel, which is a VALID augmentation only
+    # for flip-invariant label sets (UCF101 actions) and silently
+    # poisons direction-sensitive labels — r2 bug fix: was flip=True
+    # unconditionally, a 50% label-noise ceiling on any left/right
+    # distinction trained through this path.
     x = jax.vmap(
-        lambda w, k: pp.random_crop_flip(w, cfg.preprocess.crop, k,
-                                         flip=True))(x, keys)
+        lambda w, k: pp.random_crop_flip(
+            w, cfg.preprocess.crop, k,
+            flip=cfg.preprocess.random_flip))(x, keys)
     out: Dict[str, jax.Array] = {}
     if stream in ("rgb", "both"):
         out["rgb"] = pp.normalize(x[:, T // 2], cfg.preprocess.mean,
