@@ -98,7 +98,7 @@ def measure_tpu(frames, flow_algo="farneback"):
     import jax.numpy as jnp
     from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.models.two_stream import TwoStreamModel
-    from video_analytics_tpu.runtime.pipeline import compute_flow
+    from video_analytics_tpu.runtime.pipeline import compute_flow_sequence
     from video_analytics_tpu.ops import preprocess as pp
 
     cfg = PipelineConfig(flow_algo=flow_algo)
@@ -111,7 +111,7 @@ def measure_tpu(frames, flow_algo="farneback"):
         x = pp.resize_short_side(frames_u8, cfg.preprocess.resize_short)
         x = pp.center_crop(x, cfg.preprocess.crop)
         gray = pp.rgb_to_gray(x)
-        flow = compute_flow(gray[:-1], gray[1:], cfg)
+        flow = compute_flow_sequence(gray, cfg)
         stacks = pp.stack_flow_windows(flow, FLOW_STACK)
         stacks = pp.normalize_flow_stack(stacks)
         f_feats = model.temporal.apply(variables["temporal"], stacks,

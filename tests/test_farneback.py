@@ -145,3 +145,18 @@ def test_pallas_warp_pipeline_parity(pair):
     rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
     assert rel < 0.02, rel
     assert epe[8:-8, 8:-8].mean() < 0.003
+
+
+def test_sequence_equivalence(rng):
+    """farneback_sequence(frames) is the same computation as
+    farneback(frames[:-1], frames[1:]) with shared per-frame work —
+    results must match to f32 accumulation noise."""
+    from tests.fixtures import smooth_pair
+    from video_analytics_tpu.flow.farneback import farneback_sequence
+    f1, f2 = smooth_pair(rng, 64, 96, dx=1.7, dy=0.6)
+    f3 = np.roll(f2, (2, -1), axis=(0, 1))
+    frames = jnp.asarray(np.stack([f1, f2, f3]).astype(np.float32))
+    seq = np.asarray(farneback_sequence(frames, FarnebackConfig()))
+    pair_form = np.asarray(farneback(frames[:-1], frames[1:],
+                                     FarnebackConfig()))
+    np.testing.assert_allclose(seq, pair_form, atol=1e-5)

@@ -320,3 +320,53 @@ def farneback(prev: jax.Array, nxt: jax.Array,
 def farneback_jit(prev: jax.Array, nxt: jax.Array,
                   cfg: FarnebackConfig = FarnebackConfig()) -> jax.Array:
     return farneback(prev, nxt, cfg)
+
+
+def farneback_sequence(frames: jax.Array,
+                       cfg: FarnebackConfig = FarnebackConfig(),
+                       use_pallas: Optional[bool] = None) -> jax.Array:
+    """Flow for all consecutive pairs of a (T, H, W) frame sequence.
+
+    Identical math to ``farneback(frames[:-1], frames[1:], cfg)`` but
+    the per-frame work — the per-level Gaussian smoothing/resize and
+    the polynomial expansion, which the pair form computes twice per
+    interior frame — runs once per frame and is paired by slicing.
+    This is the form the fused feature/classify pipelines use
+    (runtime/pipeline.py), where every frame is interior.
+    """
+    frames = frames.astype(jnp.float32)
+    T, H, W = frames.shape
+    sizes = _level_sizes(H, W, cfg)
+
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        farneback_stage_fits_vmem, poly_expansion_pallas,
+        update_flow_pallas)
+    from video_analytics_tpu.utils.platform import on_tpu
+
+    flow = None
+    for li, (lh, lw, scale) in enumerate(sizes):
+        I = _smooth_and_resize(frames, scale, (lh, lw))
+        if flow is None:
+            flow = jnp.zeros((T - 1, lh, lw, 2), jnp.float32)
+        else:
+            flow = jax.image.resize(flow, (T - 1, lh, lw, 2),
+                                    method="linear",
+                                    antialias=False) * (1.0 / cfg.pyr_scale)
+
+        fused = (use_pallas if use_pallas is not None else on_tpu()) \
+            and farneback_stage_fits_vmem(lh, lw)
+        if fused:
+            R = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma)
+        else:
+            R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
+        R0, R1 = R[:-1], R[1:]
+
+        M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+        for it in range(cfg.iterations):
+            if fused:
+                flow = update_flow_pallas(M, cfg)
+            else:
+                flow = _solve_flow(_blur_M(M, cfg))
+            if it < cfg.iterations - 1:
+                M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+    return flow

@@ -2,19 +2,29 @@
 
 TPUs have no hardware gather; XLA lowers the per-pixel bilinear gather
 of a warp to scalarised loads that run ~100x off memory speed-of-light
-(measured: 123ms for a (64,224,224,5) warp — the single dominant cost
+(measured: 98ms for a (64,224,224,5) warp — the single dominant cost
 of both Farneback's matrix update and TV-L1's warp step, SURVEY.md §7
-hard-part #1).
+hard-part #1; this kernel does the same warp in ~10ms).
 
 Kernel strategy — *banded masked shift-accumulate*, one axis at a time:
 displacements are clamped to a static band [-R, R]; the kernel sweeps
 the band in 8-aligned chunks (Mosaic requires 8-aligned dynamic sublane
 slices), merging the source shifted by d into two accumulators under
-the per-pixel masks ``off == d`` / ``off == d-1``, then lerps them with
-the fractional part — i.e. a full 1D linear resample per axis, entirely
-in VMEM.  The 2D warp is two such passes with an XLA transpose between
-(the lane-dim sweep is illegal in Mosaic, and keeping the kernel
-single-axis compiles far faster than one fused two-pass kernel).
+the per-pixel masks ``off == d`` / ``off == d-1`` (one compare per
+step — the d-1 mask is the previous step's d mask), then lerps them
+with the fractional part — i.e. a full 1D linear resample per axis,
+entirely in VMEM.  The 2D warp is two such passes with an XLA
+transpose between (the lane-dim sweep is illegal in Mosaic, and
+keeping the kernel single-axis compiles far faster than one fused
+two-pass kernel).
+
+Blocking: the INPUT block carries an (r+8)-row halo on each side while
+the OUTPUT block is the interior band only — the kernel reads
+``src_ref[h + i + d]`` directly, so there is no replicate-pad scratch
+and, critically, no compute on halo rows (an earlier same-size-blocks
+version recomputed the halo and threw it away: 1.79x wasted sweeps at
+224², 4.3x at 1080p-width one-channel bands).  Border replication is
+host-side ``jnp.pad(mode="edge")`` on the halo slices.
 
 Semantics: exact per axis.  The horizontal pass samples the vertically
 resampled plane at the target pixel's x0, so the composite equals the
@@ -40,74 +50,87 @@ from video_analytics_tpu.utils.platform import pallas_interpret
 DEFAULT_BAND = 32
 
 
-def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, pad_ref, *, r: int):
-    """1D banded resample along the sublane axis of one (C, N, M) block:
-    out[c, i, j] = src[c, i+off, j]*(1-frac) + src[c, i+off+1, j]*frac."""
-    C, N, M = src_ref.shape
-    pad_rows = pad_ref.shape[1]
-    src = src_ref[:]
-    pad_ref[:, r:r + N, :] = src
-    pad_ref[:, :r, :] = jnp.broadcast_to(src[:, :1, :], (C, r, M))
-    pad_ref[:, r + N:, :] = jnp.broadcast_to(
-        src[:, N - 1:, :], (C, pad_rows - r - N, M))
+def _halo(r: int) -> int:
+    """Input-side halo rows per side: reachable offset r, rounded up so
+    the kernel's first dynamic slice start (h - r) is 8-aligned."""
+    return r + 8
+
+
+def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
+    """1D banded resample along the sublane axis.
+
+    src (C, Nout + 2h, M) carries the halo; out (C, Nout, M) is the
+    interior: out[c, i, j] = src[c, h+i+off, j]*(1-frac)
+                           + src[c, h+i+off+1, j]*frac.
+    """
+    C, NI, M = src_ref.shape
+    Nout = out_ref.shape[1]
+    h = (NI - Nout) // 2
 
     off = off_ref[:]
     frac = frac_ref[:][None]
     n_chunks = pl.cdiv(2 * r + 2, 8)
 
     def body(c, carry):
+        # One equality compare per step: the ``off == d-1`` mask that
+        # feeds acc1 is the previous step's ``off == d`` mask (26%
+        # kernel speedup; bit-exact).  Only the chunk's first step
+        # recomputes it (a bool can't ride the fori carry in Mosaic).
         acc0, acc1 = carry
-        base = pl.multiple_of(c * 8, 8)
-        block = pad_ref[:, pl.ds(base, N + 8), :]
+        base = pl.multiple_of(c * 8 + (h - r), 8)
+        block = src_ref[:, pl.ds(base, Nout + 8), :]
+        pm = off == (c * 8 - r - 1)
         for j in range(8):
-            d = base + j - r
-            shifted = block[:, j:j + N, :]
-            acc0 = jnp.where((off == d)[None], shifted, acc0)
-            acc1 = jnp.where((off == d - 1)[None], shifted, acc1)
+            d = c * 8 + j - r
+            shifted = block[:, j:j + Nout, :]
+            m = off == d
+            acc0 = jnp.where(m[None], shifted, acc0)
+            acc1 = jnp.where(pm[None], shifted, acc1)
+            pm = m
         return acc0, acc1
 
-    zeros = jnp.zeros((C, N, M), jnp.float32)
+    zeros = jnp.zeros((C, Nout, M), jnp.float32)
     acc0, acc1 = jax.lax.fori_loop(0, n_chunks, body, (zeros, zeros))
     out_ref[:] = acc0 * (1.0 - frac) + acc1 * frac
 
 
 def _axis_warp(src: jax.Array, off: jax.Array, frac: jax.Array,
                r: int) -> jax.Array:
-    """(B, C, N, M) banded 1D resample along axis 2."""
-    B, C, N, M = src.shape
+    """(B, C, Nout + 2h, M) haloed source + (B, Nout, M) offsets →
+    (B, C, Nout, M) banded 1D resample along axis 2."""
+    B, C, NI, M = src.shape
+    Nout = off.shape[1]
     return pl.pallas_call(
         functools.partial(_axis_kernel, r=r),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((None, C, N, M), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((None, C, NI, M), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, N, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, Nout, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, N, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, Nout, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, C, N, M), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((None, C, Nout, M), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, N, M), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((C, N + 2 * r + 16, M), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, C, Nout, M), jnp.float32),
         interpret=pallas_interpret(),
     )(src, off, frac)
 
 
 def _band_size(c: int, m: int, r: int) -> int:
-    """Row-band (excl. halo) whose kernel working set fits VMEM, or 0
+    """Interior rows per band whose kernel working set fits VMEM, or 0
     when even the minimum 8-row band overflows (caller then splits
-    channels).  Cost model is empirical from Mosaic scoped-VMEM OOM
-    reports (double-buffered grid blocks, pad scratch, fori
-    accumulators, mask temporaries)."""
-    budget = 14 * 1024 * 1024 // 4          # floats
-    mp = -(-m // 128) * 128                 # lane-padded width
-    # Fitted from Mosaic scoped-VMEM reports at three (c, m) points:
-    # ~13·C·mp for the channelled buffers + ~3·mp for off/frac/masks.
-    per_row = (13 * c + 3) * mp
-    band = budget // per_row - (2 * (r + 8) + 8)
+    channels).  Accounting per band of ``n`` interior rows (lane-padded
+    width mp): double-buffered in blocks 2·C·(n+2h), out blocks 2·C·n,
+    accumulators 2·C·n, chunk slice C·(n+8), off/frac in+live 4·n,
+    masks ~2·n → ≈ (7C+6)·n + (4h+8)·C rows; verified live at
+    (C=5, m=224, n=224) and (C=1, m=1920, n=128)."""
+    budget_floats = 13 * 1024 * 1024 // 4
+    mp = -(-m // 128) * 128
+    rows_budget = budget_floats // mp
+    h = _halo(r)
+    band = (rows_budget - (4 * h + 8) * c) // (7 * c + 6)
     if band < 8:
         return 0
     return (band // 8) * 8
@@ -116,10 +139,10 @@ def _band_size(c: int, m: int, r: int) -> int:
 def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
                    r: int) -> jax.Array:
     """_axis_warp with automatic row-banding for large shapes: each
-    band is given a (r+8)-row halo (edge-padded at image boundaries);
-    the kernel's own replicate padding then only affects halo rows,
-    which are discarded.  Offsets are relative, so they transfer to
-    band-local coordinates unchanged."""
+    band's INPUT slice carries an h=(r+8)-row halo (edge-padded at
+    image boundaries) while offsets/outputs are the interior band
+    only — no compute is spent on halo rows.  Offsets are relative, so
+    they transfer to band-local coordinates unchanged."""
     B, C, N, M = src.shape
     band = _band_size(C, M, r)
     if band == 0 and C > 1:
@@ -130,25 +153,19 @@ def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
             [_axis_warp_any(src[:, :half], off, frac, r),
              _axis_warp_any(src[:, half:], off, frac, r)], axis=1)
     band = max(band, 8)
-    if N <= band:
-        return _axis_warp(src, off, frac, r)
-    h = r + 8
+    h = _halo(r)
     outs = []
     for s in range(0, N, band):
         e = min(s + band, N)
         s0, e0 = max(s - h, 0), min(e + h, N)
         pad_top, pad_bot = h - (s - s0), h - (e0 - e)
         blk = src[:, :, s0:e0, :]
-        ob = off[:, s0:e0, :]
-        fb = frac[:, s0:e0, :]
         if pad_top or pad_bot:
-            spec3 = [(0, 0), (0, 0), (pad_top, pad_bot), (0, 0)]
-            spec2 = [(0, 0), (pad_top, pad_bot), (0, 0)]
-            blk = jnp.pad(blk, spec3, mode="edge")
-            ob = jnp.pad(ob, spec2, mode="edge")
-            fb = jnp.pad(fb, spec2, mode="edge")
-        out_b = _axis_warp(blk, ob, fb, r)
-        outs.append(out_b[:, :, h:h + (e - s), :])
+            blk = jnp.pad(blk, [(0, 0), (0, 0), (pad_top, pad_bot),
+                                (0, 0)], mode="edge")
+        outs.append(_axis_warp(blk, off[:, s:e], frac[:, s:e], r))
+    if len(outs) == 1:
+        return outs[0]
     return jnp.concatenate(outs, axis=2)
 
 
@@ -159,8 +176,8 @@ def pallas_warp(img: jax.Array, flow: jax.Array,
     out(p) = img(p + flow(p)), clamped borders, |flow| clamped to ±r.
 
     Drop-in for ops.kernels.warp_by_flow on the flow hot path.  Images
-    of any size are handled by row-banding with halos (the per-band
-    working set, not the image, must fit VMEM)."""
+    of any size are handled by row-banding with input-side halos (the
+    per-band working set, not the image, must fit VMEM)."""
     B, H, W, C = img.shape
     r = max(1, min(r, H - 2, W - 2))
     img_cf = img.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, C, H, W)
@@ -186,7 +203,9 @@ def pallas_warp(img: jax.Array, flow: jax.Array,
 def warp_fits_vmem(h: int, w: int, c: int, r: int = DEFAULT_BAND) -> bool:
     """Always true since row-banding landed — kept for call sites that
     gate on it (returns False only for absurd widths where even one
-    8-row banded block exceeds VMEM)."""
+    8-row banded block exceeds VMEM for a single channel)."""
     r = max(1, min(r, h - 2, w - 2))
     m = max(h, w)
-    return (3 * c + 3) * m * (8 + 2 * r + 16) * 4 < 13 * 1024 * 1024
+    mp = -(-m // 128) * 128
+    rows_budget = (13 * 1024 * 1024 // 4) // mp
+    return rows_budget - (4 * _halo(r) + 8) > 8 * 13
