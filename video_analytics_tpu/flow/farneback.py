@@ -119,7 +119,8 @@ def _border_attenuation(h: int, w: int) -> jax.Array:
 
 def update_matrices(R0: jax.Array, R1: jax.Array,
                     flow: jax.Array,
-                    use_pallas: Optional[bool] = None) -> jax.Array:
+                    use_pallas: Optional[bool] = None,
+                    band: Optional[int] = None) -> jax.Array:
     """Per-pixel normal-equation entries (B, H, W, 5) =
     (G11, G12, G22, h1, h2) from paired expansions and current flow.
 
@@ -138,7 +139,7 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
     bit-level flow parity on both window types (see tests).
     """
     from video_analytics_tpu.ops.pallas.warp import (
-        pallas_warp, warp_fits_vmem)
+        DEFAULT_BAND, pallas_warp, warp_fits_vmem)
     from video_analytics_tpu.utils.platform import on_tpu
 
     B, H, W, _ = R0.shape
@@ -146,7 +147,7 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
     if use_pallas is None:
         use_pallas = on_tpu() and warp_fits_vmem(H, W, R0.shape[-1])
     if use_pallas:
-        R1w = pallas_warp(R1, flow)
+        R1w = pallas_warp(R1, flow, r=band or DEFAULT_BAND)
     else:
         yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
         xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
@@ -249,6 +250,19 @@ def _smooth_and_resize(img: jax.Array, scale: float,
     return resize_area_like(sm, out_hw)
 
 
+def _level_band(scale: float) -> int:
+    """Warp sweep band for a pyramid level.  The kernel's exactness
+    envelope is ±DEFAULT_BAND px of displacement at full resolution; a
+    level at `scale` only ever represents scale-times-smaller
+    displacements, so its band shrinks proportionally (+8 rows margin
+    for transient iteration overshoot).  Sweep cost is linear in the
+    band, so the coarse levels get ~2x cheaper with no change to any
+    flow within the envelope."""
+    from video_analytics_tpu.ops.pallas.warp import DEFAULT_BAND
+    b = int(np.ceil(DEFAULT_BAND * scale)) + 8
+    return min(DEFAULT_BAND, max(8, b))
+
+
 def farneback(prev: jax.Array, nxt: jax.Array,
               cfg: FarnebackConfig = FarnebackConfig(),
               initial_flow: Optional[jax.Array] = None,
@@ -305,14 +319,17 @@ def farneback(prev: jax.Array, nxt: jax.Array,
             R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
             R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
-        M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+        band = _level_band(scale)
+        M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                            band=band)
         for it in range(cfg.iterations):
             if fused:
                 flow = update_flow_pallas(M, cfg)
             else:
                 flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+                M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                    band=band)
     return flow
 
 
@@ -361,12 +378,15 @@ def farneback_sequence(frames: jax.Array,
             R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
         R0, R1 = R[:-1], R[1:]
 
-        M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+        band = _level_band(scale)
+        M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                            band=band)
         for it in range(cfg.iterations):
             if fused:
                 flow = update_flow_pallas(M, cfg)
             else:
                 flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow, use_pallas=use_pallas)
+                M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                    band=band)
     return flow
