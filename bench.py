@@ -111,7 +111,7 @@ def measure_tpu(frames, flow_algo="farneback"):
         x = pp.resize_short_side(frames_u8, cfg.preprocess.resize_short)
         x = pp.center_crop(x, cfg.preprocess.crop)
         gray = pp.rgb_to_gray(x)
-        flow = compute_flow_sequence(gray, cfg)
+        flow = compute_flow_sequence(gray, cfg, bounded=True)
         stacks = pp.stack_flow_windows(flow, FLOW_STACK)
         stacks = pp.normalize_flow_stack(stacks)
         f_feats = model.temporal.apply(variables["temporal"], stacks,

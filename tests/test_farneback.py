@@ -160,3 +160,17 @@ def test_sequence_equivalence(rng):
     pair_form = np.asarray(farneback(frames[:-1], frames[1:],
                                      FarnebackConfig()))
     np.testing.assert_allclose(seq, pair_form, atol=1e-5)
+
+
+def test_bounded_envelope_equivalence(rng):
+    """The bounded-envelope pipeline path (flow destined for a
+    ±flow_bound clip) matches the full-envelope sequence flow exactly
+    for displacements inside the envelope."""
+    from tests.fixtures import smooth_pair
+    from video_analytics_tpu.flow.farneback import farneback_sequence
+    f1, f2 = smooth_pair(rng, 64, 96, dx=3.0, dy=-2.0)
+    frames = jnp.asarray(np.stack([f1, f2]).astype(np.float32))
+    full = np.asarray(farneback_sequence(frames, FarnebackConfig()))
+    bounded = np.asarray(farneback_sequence(frames, FarnebackConfig(),
+                                            envelope=24))
+    np.testing.assert_allclose(bounded, full, atol=1e-6)

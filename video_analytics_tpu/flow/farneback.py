@@ -250,17 +250,23 @@ def _smooth_and_resize(img: jax.Array, scale: float,
     return resize_area_like(sm, out_hw)
 
 
-def _level_band(scale: float) -> int:
+def _level_band(scale: float, envelope: Optional[int] = None) -> int:
     """Warp sweep band for a pyramid level.  The kernel's exactness
-    envelope is ±DEFAULT_BAND px of displacement at full resolution; a
-    level at `scale` only ever represents scale-times-smaller
-    displacements, so its band shrinks proportionally (+8 rows margin
-    for transient iteration overshoot).  Sweep cost is linear in the
-    band, so the coarse levels get ~2x cheaper with no change to any
-    flow within the envelope."""
+    envelope is ±`envelope` px of displacement at full resolution
+    (default DEFAULT_BAND); a level at `scale` only ever represents
+    scale-times-smaller displacements, so its band shrinks
+    proportionally (+8 rows margin for transient iteration overshoot).
+    Sweep cost is linear in the band, so the coarse levels get ~2x
+    cheaper with no change to any flow within the envelope.
+
+    The fused feature/classify pipelines pass a reduced envelope of
+    flow_bound+4: their flow is clipped to ±flow_bound px right after
+    the solver (the two-stream storage convention), so displacements
+    past ~24 px cannot affect the features either way."""
     from video_analytics_tpu.ops.pallas.warp import DEFAULT_BAND
-    b = int(np.ceil(DEFAULT_BAND * scale)) + 8
-    return min(DEFAULT_BAND, max(8, b))
+    base = min(envelope or DEFAULT_BAND, DEFAULT_BAND)
+    b = int(np.ceil(base * scale)) + 8
+    return min(base, max(8, b))
 
 
 def farneback(prev: jax.Array, nxt: jax.Array,
@@ -341,7 +347,8 @@ def farneback_jit(prev: jax.Array, nxt: jax.Array,
 
 def farneback_sequence(frames: jax.Array,
                        cfg: FarnebackConfig = FarnebackConfig(),
-                       use_pallas: Optional[bool] = None) -> jax.Array:
+                       use_pallas: Optional[bool] = None,
+                       envelope: Optional[int] = None) -> jax.Array:
     """Flow for all consecutive pairs of a (T, H, W) frame sequence.
 
     Identical math to ``farneback(frames[:-1], frames[1:], cfg)`` but
@@ -378,7 +385,7 @@ def farneback_sequence(frames: jax.Array,
             R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
         R0, R1 = R[:-1], R[1:]
 
-        band = _level_band(scale)
+        band = _level_band(scale, envelope)
         M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
                             band=band)
         for it in range(cfg.iterations):

@@ -34,17 +34,26 @@ def compute_flow(gray_pairs_prev: jax.Array, gray_pairs_next: jax.Array,
     return farneback(gray_pairs_prev, gray_pairs_next, cfg.farneback)
 
 
-def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig) -> jax.Array:
+def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig,
+                          bounded: bool = False) -> jax.Array:
     """(T, H, W) gray sequence → (T-1, H, W, 2) consecutive-pair flow.
 
     Same result as ``compute_flow(gray[:-1], gray[1:], cfg)``; for
     Farneback the per-frame pyramid prep and polynomial expansions are
     shared across the pairs (flow/farneback.farneback_sequence) instead
-    of being recomputed for each side of each pair."""
+    of being recomputed for each side of each pair.
+
+    bounded=True tells the Farneback warp kernels the caller clips the
+    result to ±flow_bound px (normalize_flow_stack does, immediately
+    after) so they can sweep a flow_bound+4 displacement envelope
+    instead of the full 32 px — identical features, ~20% less sweep
+    work.  The compute-flow CLI surface keeps bounded=False."""
     if cfg.flow_algo == "tvl1":
         return tvl1(gray[:-1], gray[1:], cfg.tvl1)
     from video_analytics_tpu.flow.farneback import farneback_sequence
-    return farneback_sequence(gray, cfg.farneback)
+    envelope = (int(np.ceil(cfg.preprocess.flow_bound)) + 4
+                if bounded else None)
+    return farneback_sequence(gray, cfg.farneback, envelope=envelope)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -72,7 +81,7 @@ def flow_features(frames: jax.Array, variables,
     x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
     x = pp.center_crop(x, cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
-    flow = compute_flow_sequence(gray, cfg)
+    flow = compute_flow_sequence(gray, cfg, bounded=True)
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
     stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
     return model.apply(variables, stacks, return_features=True)
@@ -92,7 +101,7 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
     x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
     x = pp.center_crop(x, cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
-    flow = compute_flow_sequence(gray, cfg)
+    flow = compute_flow_sequence(gray, cfg, bounded=True)
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
     stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
     t_logits = model.temporal_logits(variables, stacks)
