@@ -104,9 +104,14 @@ def test_rotation_zoom_ground_truth(rng):
 
 def test_banded_solver_bitexact_vs_monolithic(rng):
     """The row-banded chunked solver (large-plane path, VERDICT r1 #2)
-    must be bit-exact to the whole-plane VMEM kernel — the halos are
-    sized so banding never changes a single interior value, including
-    with the median filter and the ε convergence gate engaged."""
+    must match the whole-plane VMEM kernel to within compiler fp
+    contraction — the halos are sized so banding never changes a
+    single interior value mathematically, including with the median
+    filter and the ε convergence gate engaged.  (The two programs have
+    different op graphs since the err-on-last-step-only optimisation,
+    so XLA's fma contraction under --xla_allow_excess_precision may
+    round single ops differently: observed ulp-level 9e-9, gated at
+    1e-6 absolute on O(0.1) values.)"""
     from video_analytics_tpu.ops.pallas.tvl1_solve import (
         tvl1_solve_warp, tvl1_solve_warp_banded)
 
@@ -129,8 +134,10 @@ def test_banded_solver_bitexact_vs_monolithic(rng):
         u1, v1 = tvl1_solve_warp(I1wx, I1wy, grad, rho, u, v, cfg)
         u2, v2 = tvl1_solve_warp_banded(I1wx, I1wy, grad, rho, u, v,
                                         cfg, band=band, chunk=chunk)
-        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
-        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   atol=1e-6, rtol=0)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-6, rtol=0)
 
 
 def test_banded_solver_in_driver(rng):

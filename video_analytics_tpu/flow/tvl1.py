@@ -102,7 +102,7 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
     p22 = jnp.zeros_like(u)
 
     def body(state):
-        u, v, p11, p12, p21, p22, step, _ = state
+        u, v, p11, p12, p21, p22, step, err_prev = state
 
         # Median filtering at outer-iteration boundaries.
         if cfg.median_filtering > 1:
@@ -125,18 +125,28 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
         # u-step: couple to the TV-regularised field.
         un = v1 + cfg.theta * divergence(p11, p12)
         vn = v2 + cfg.theta * divergence(p21, p22)
-        err = jnp.max(jnp.sum(
-            (un - u) ** 2 + (vn - v) ** 2, axis=(1, 2)) / n_px)
+        # The convergence error is only read at outer boundaries, i.e.
+        # from the round's last inner step — skip it elsewhere (the
+        # fused Pallas kernels do the same; see tvl1_solve.step_core).
+        is_last_inner = (step % cfg.inner_iterations) == \
+            cfg.inner_iterations - 1
+        err = jax.lax.cond(
+            is_last_inner,
+            lambda ab: jnp.max(jnp.sum(
+                (ab[0] - ab[2]) ** 2 + (ab[1] - ab[3]) ** 2,
+                axis=(1, 2)) / n_px),
+            lambda ab: err_prev,
+            (un, vn, u, v))
 
-        # dual step.
+        # dual step (divide once per field pair, multiply twice).
         ux, uy = forward_gradient(un)
         vx, vy = forward_gradient(vn)
-        ng_u = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
-        ng_v = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-        p11 = (p11 + taut * ux) / ng_u
-        p12 = (p12 + taut * uy) / ng_u
-        p21 = (p21 + taut * vx) / ng_v
-        p22 = (p22 + taut * vy) / ng_v
+        inv_u = 1.0 / (1.0 + taut * jnp.sqrt(ux * ux + uy * uy))
+        inv_v = 1.0 / (1.0 + taut * jnp.sqrt(vx * vx + vy * vy))
+        p11 = (p11 + taut * ux) * inv_u
+        p12 = (p12 + taut * uy) * inv_u
+        p21 = (p21 + taut * vx) * inv_v
+        p22 = (p22 + taut * vy) * inv_v
         return un, vn, p11, p12, p21, p22, step + 1, err
 
     def cond(state):

@@ -46,18 +46,22 @@ def _roll(x, shift: int, axis: int):
 
 
 def _median_network(planes):
-    """Odd-even transposition sort over a list of (H, W) planes;
-    returns the median plane.  O(n²) compare-exchanges of VPU min/max —
-    no data movement, no sort primitive needed."""
-    n = len(planes)
-    planes = list(planes)
-    for rnd in range(n):
-        start = rnd % 2
-        for i in range(start, n - 1, 2):
-            a, b = planes[i], planes[i + 1]
-            planes[i] = jnp.minimum(a, b)
-            planes[i + 1] = jnp.maximum(a, b)
-    return planes[n // 2]
+    """Median of a list of (H, W) planes via the pruned Batcher
+    selection network shared with ops/median.py — 113 min/max pairs
+    for 25 planes vs 300 for the odd-even transposition sort this
+    replaced (the median runs every outer round, so it was ~25% of the
+    solver kernel's VPU work).  Same median, exact."""
+    from video_analytics_tpu.ops.median import _median_network as _net
+    network, median_wire = _net(len(planes))
+    wires = list(planes)
+    for (i, j) in network:
+        if j < 0:
+            wires[i] = wires[-1 - j]
+        else:
+            lo = jnp.minimum(wires[i], wires[j])
+            hi = jnp.maximum(wires[i], wires[j])
+            wires[i], wires[j] = lo, hi
+    return wires[median_wire]
 
 
 def _median2d(x, k: int):
@@ -117,7 +121,12 @@ def _solver_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         d2 = jnp.where(first_row, p2, p2 - _roll(p2, 1, 0))
         return d1 + d2
 
-    def inner_step(_, state):
+    def step_core(state, with_err: bool):
+        # The convergence error is only read at outer-round boundaries,
+        # so all but the round's last inner step skip computing it
+        # (with_err=False) — ~10% of the round's VPU work.  The dual
+        # normalisation divides once and multiplies twice (was two
+        # divides per field pair).
         u, v, p11, p12, p21, p22, err = state
         rho = rho_c + I1wx * u + I1wy * v
         th = l_t * grad
@@ -128,16 +137,20 @@ def _solver_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         v2 = v + d * I1wy
         un = v1 + cfg.theta * div(p11, p12)
         vn = v2 + cfg.theta * div(p21, p22)
-        err = jnp.sum((un - u) ** 2 + (vn - v) ** 2) / n_px
+        if with_err:
+            err = jnp.sum((un - u) ** 2 + (vn - v) ** 2) / n_px
         ux, uy = fwd_grad(un)
         vx, vy = fwd_grad(vn)
-        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
-        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-        p11n = (p11 + taut * ux) / ng1
-        p12n = (p12 + taut * uy) / ng1
-        p21n = (p21 + taut * vx) / ng2
-        p22n = (p22 + taut * vy) / ng2
+        inv1 = 1.0 / (1.0 + taut * jnp.sqrt(ux * ux + uy * uy))
+        inv2 = 1.0 / (1.0 + taut * jnp.sqrt(vx * vx + vy * vy))
+        p11n = (p11 + taut * ux) * inv1
+        p12n = (p12 + taut * uy) * inv1
+        p21n = (p21 + taut * vx) * inv2
+        p22n = (p22 + taut * vy) * inv2
         return un, vn, p11n, p12n, p21n, p22n, err
+
+    def inner_step(_, state):
+        return step_core(state, with_err=False)
 
     def outer_step(_, state):
         u, v, p11, p12, p21, p22, err = state
@@ -148,9 +161,10 @@ def _solver_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
             if cfg.median_filtering > 1:
                 u = _median2d(u, cfg.median_filtering)
                 v = _median2d(v, cfg.median_filtering)
-            return jax.lax.fori_loop(
-                0, cfg.inner_iterations, inner_step,
+            st = jax.lax.fori_loop(
+                0, cfg.inner_iterations - 1, inner_step,
                 (u, v, p11, p12, p21, p22, err))
+            return step_core(st, with_err=True)
 
         return jax.lax.cond(converged, lambda st: st, run, state)
 
@@ -275,7 +289,10 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         d2 = jnp.where(first_row, p2, p2 - _roll(p2, 1, 0))
         return d1 + d2
 
-    def inner_step(_, state):
+    def step_core(state, with_err: bool):
+        # Same err-on-last-step-only + divide-once structure as the
+        # whole-plane kernel (see _solver_kernel.step_core); the err is
+        # only consumed after the round's final chunk.
         u, v, p11, p12, p21, p22, err = state
         rho = rho_c + I1wx * u + I1wy * v
         th = l_t * grad
@@ -286,21 +303,25 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         v2 = v + d * I1wy
         un = v1 + cfg.theta * div(p11, p12)
         vn = v2 + cfg.theta * div(p21, p22)
-        err = jnp.sum(((un - u) ** 2 + (vn - v) ** 2) * interior)
+        if with_err:
+            err = jnp.sum(((un - u) ** 2 + (vn - v) ** 2) * interior)
         ux, uy = fwd_grad(un)
         vx, vy = fwd_grad(vn)
-        ng1 = 1.0 + taut * jnp.sqrt(ux * ux + uy * uy)
-        ng2 = 1.0 + taut * jnp.sqrt(vx * vx + vy * vy)
-        p11n = (p11 + taut * ux) / ng1
-        p12n = (p12 + taut * uy) / ng1
-        p21n = (p21 + taut * vx) / ng2
-        p22n = (p22 + taut * vy) / ng2
+        inv1 = 1.0 / (1.0 + taut * jnp.sqrt(ux * ux + uy * uy))
+        inv2 = 1.0 / (1.0 + taut * jnp.sqrt(vx * vx + vy * vy))
+        p11n = (p11 + taut * ux) * inv1
+        p12n = (p12 + taut * uy) * inv1
+        p21n = (p21 + taut * vx) * inv2
+        p22n = (p22 + taut * vy) * inv2
         return un, vn, p11n, p12n, p21n, p22n, err
+
+    def inner_step(_, state):
+        return step_core(state, with_err=False)
 
     init = (uin_ref[:], vin_ref[:], p11i_ref[:], p12i_ref[:],
             p21i_ref[:], p22i_ref[:], jnp.asarray(0.0, f32))
-    u, v, p11, p12, p21, p22, err = jax.lax.fori_loop(
-        0, iters, inner_step, init)
+    state = jax.lax.fori_loop(0, iters - 1, inner_step, init)
+    u, v, p11, p12, p21, p22, err = step_core(state, with_err=True)
     uout_ref[:] = u
     vout_ref[:] = v
     p11o_ref[:] = p11
