@@ -65,20 +65,23 @@ def _downscale(img: jax.Array, out_hw: Tuple[int, int],
 
 
 def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
-               u: jax.Array, v: jax.Array):
+               u: jax.Array, v: jax.Array, band: Optional[int] = None):
     """Warp I1 and its gradients by the current flow (u, v).
 
     On TPU this is the Pallas banded warp (ops/pallas/warp.py — the
     gather-free hot-path kernel); elsewhere, or when the level is too
-    large for the kernel's VMEM working set, the exact XLA gather."""
+    large for the kernel's VMEM working set, the exact XLA gather.
+    `band` scales the sweep to the pyramid level's displacement
+    envelope (see flow.farneback._level_band — same argument)."""
     from video_analytics_tpu.ops.pallas.warp import (
-        pallas_warp, warp_fits_vmem)
+        DEFAULT_BAND, pallas_warp, warp_fits_vmem)
     from video_analytics_tpu.utils.platform import on_tpu
 
     B, H, W = I1.shape
     stacked = jnp.stack([I1, I1x, I1y], axis=-1)
     if on_tpu() and warp_fits_vmem(H, W, 3):
-        w = pallas_warp(stacked, jnp.stack([u, v], axis=-1))
+        w = pallas_warp(stacked, jnp.stack([u, v], axis=-1),
+                        r=band or DEFAULT_BAND)
     else:
         yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
         xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
@@ -222,9 +225,11 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         banded = None
         if pallas_ok and not fused:
             banded = banded_params(lh, lw, cfg)
+        from video_analytics_tpu.flow.farneback import _level_band
+        band = _level_band(cfg.scale_step ** s)
         for _ in range(cfg.warps):
             u0, v0 = u, v
-            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0)
+            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0, band=band)
             if fused or banded:
                 grad = I1wx * I1wx + I1wy * I1wy
                 rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
