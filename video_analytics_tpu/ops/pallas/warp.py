@@ -6,17 +6,15 @@ of a warp to scalarised loads that run ~100x off memory speed-of-light
 of both Farneback's matrix update and TV-L1's warp step, SURVEY.md §7
 hard-part #1; this kernel does the same warp in ~10ms).
 
-Kernel strategy — *banded masked shift-accumulate*, one axis at a time:
-displacements are clamped to a static band [-R, R]; the kernel sweeps
-the band in 8-aligned chunks (Mosaic requires 8-aligned dynamic sublane
-slices), merging the source shifted by d into two accumulators under
-the per-pixel masks ``off == d`` / ``off == d-1`` (one compare per
-step — the d-1 mask is the previous step's d mask), then lerps them
-with the fractional part — i.e. a full 1D linear resample per axis,
-entirely in VMEM.  The 2D warp is two such passes with an XLA
-transpose between (the lane-dim sweep is illegal in Mosaic, and
-keeping the kernel single-axis compiles far faster than one fused
-two-pass kernel).
+Kernel strategy — *banded masked select*, one axis at a time:
+displacements are clamped to a static band [-R, R]; the kernel
+resolves each pixel's source row with a two-stage hierarchical select
+over the band's 8-aligned chunks (see _axis_kernel), then lerps the
+two bracketing rows with the fractional part — i.e. a full 1D linear
+resample per axis, entirely in VMEM.  The 2D warp is two such passes
+with an XLA transpose between (the lane-dim sweep is illegal in
+Mosaic, and keeping the kernel single-axis compiles far faster than
+one fused two-pass kernel).
 
 Blocking: the INPUT block carries an (r+8)-row halo on each side while
 the OUTPUT block is the interior band only — the kernel reads
@@ -62,6 +60,15 @@ def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
     src (C, Nout + 2h, M) carries the halo; out (C, Nout, M) is the
     interior: out[c, i, j] = src[c, h+i+off, j]*(1-frac)
                            + src[c, h+i+off+1, j]*frac.
+
+    Two-stage hierarchical select (~15% over the flat sweep, measured):
+    stage 1 sweeps the ceil((2r+2)/8) 8-aligned chunks once, building
+    nine fine planes T_f = src[h+i+8·coarse+f] selected by the
+    per-pixel coarse index (one compare per chunk, shared by all nine
+    f); stage 2 selects the lerp operands from T by the fine index —
+    8·(9+2) selects total instead of 2 per candidate offset.  The
+    whole loop nest is statically unrolled (Mosaic schedules it well;
+    the T planes are why the band model charges ~9C extra rows).
     """
     C, NI, M = src_ref.shape
     Nout = out_ref.shape[1]
@@ -69,28 +76,24 @@ def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
 
     off = off_ref[:]
     frac = frac_ref[:][None]
-    n_chunks = pl.cdiv(2 * r + 2, 8)
+    idx = off + r                        # [0, 2r]
+    coarse = idx // 8
+    fine = idx % 8
+    n_chunks = (2 * r + 2 + 7) // 8
 
-    def body(c, carry):
-        # One equality compare per step: the ``off == d-1`` mask that
-        # feeds acc1 is the previous step's ``off == d`` mask (26%
-        # kernel speedup; bit-exact).  Only the chunk's first step
-        # recomputes it (a bool can't ride the fori carry in Mosaic).
-        acc0, acc1 = carry
-        base = pl.multiple_of(c * 8 + (h - r), 8)
-        block = src_ref[:, pl.ds(base, Nout + 8), :]
-        pm = off == (c * 8 - r - 1)
-        for j in range(8):
-            d = c * 8 + j - r
-            shifted = block[:, j:j + Nout, :]
-            m = off == d
-            acc0 = jnp.where(m[None], shifted, acc0)
-            acc1 = jnp.where(pm[None], shifted, acc1)
-            pm = m
-        return acc0, acc1
-
-    zeros = jnp.zeros((C, Nout, M), jnp.float32)
-    acc0, acc1 = jax.lax.fori_loop(0, n_chunks, body, (zeros, zeros))
+    T = [jnp.zeros((C, Nout, M), jnp.float32) for _ in range(9)]
+    for c in range(n_chunks):
+        base = c * 8 + (h - r)           # (h - r) == 8: all 8-aligned
+        block = src_ref[:, base:base + Nout + 8, :]
+        mc = (coarse == c)[None]
+        for f in range(9):
+            T[f] = jnp.where(mc, block[:, f:f + Nout, :], T[f])
+    acc0 = jnp.zeros((C, Nout, M), jnp.float32)
+    acc1 = jnp.zeros((C, Nout, M), jnp.float32)
+    for f in range(8):
+        mf = (fine == f)[None]
+        acc0 = jnp.where(mf, T[f], acc0)
+        acc1 = jnp.where(mf, T[f + 1], acc1)
     out_ref[:] = acc0 * (1.0 - frac) + acc1 * frac
 
 
@@ -114,23 +117,34 @@ def _axis_warp(src: jax.Array, off: jax.Array, frac: jax.Array,
         out_specs=pl.BlockSpec((None, C, Nout, M), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, Nout, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=pallas_interpret(),
     )(src, off, frac)
+
+
+# The kernel's scoped VMEM limit (Mosaic default is 16MB; the v5e has
+# 128MB physical).  The nine T planes live in scoped VMEM, so the
+# limit is raised and the band model below sizes the TOTAL working set
+# (scoped + double-buffered pipeline blocks) against _TOTAL_BUDGET.
+_SCOPED_VMEM_BYTES = 100 * 1024 * 1024
+_TOTAL_BUDGET_FLOATS = 100 * 1024 * 1024 // 4
 
 
 def _band_size(c: int, m: int, r: int) -> int:
     """Interior rows per band whose kernel working set fits VMEM, or 0
     when even the minimum 8-row band overflows (caller then splits
     channels).  Accounting per band of ``n`` interior rows (lane-padded
-    width mp): double-buffered in blocks 2·C·(n+2h), out blocks 2·C·n,
-    accumulators 2·C·n, chunk slice C·(n+8), off/frac in+live 4·n,
-    masks ~2·n → ≈ (7C+6)·n + (4h+8)·C rows; verified live at
-    (C=5, m=224, n=224) and (C=1, m=1920, n=128)."""
-    budget_floats = 13 * 1024 * 1024 // 4
+    width mp): scoped — nine T planes 9·C·n, accumulators 2·C·n, chunk
+    slice C·(n+8), index/mask planes ~7·n; pipelined — in blocks
+    2·C·(n+2h), off/frac 4·n, out 2·C·n → ≈ (16C+11)·n + (4h+16)·C
+    rows; verified live at (C=5, m=224, n=224) under the raised scoped
+    limit, and the pre-hierarchical model was verified at
+    (C=1, m=1920, n=128)."""
     mp = -(-m // 128) * 128
-    rows_budget = budget_floats // mp
+    rows_budget = _TOTAL_BUDGET_FLOATS // mp
     h = _halo(r)
-    band = (rows_budget - (4 * h + 8) * c) // (7 * c + 6)
+    band = (rows_budget - (4 * h + 16) * c) // (16 * c + 11)
     if band < 8:
         return 0
     return (band // 8) * 8
@@ -207,5 +221,5 @@ def warp_fits_vmem(h: int, w: int, c: int, r: int = DEFAULT_BAND) -> bool:
     r = max(1, min(r, h - 2, w - 2))
     m = max(h, w)
     mp = -(-m // 128) * 128
-    rows_budget = (13 * 1024 * 1024 // 4) // mp
-    return rows_budget - (4 * _halo(r) + 8) > 8 * 13
+    rows_budget = _TOTAL_BUDGET_FLOATS // mp
+    return rows_budget - (4 * _halo(r) + 16) > 8 * 27
