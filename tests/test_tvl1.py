@@ -177,3 +177,21 @@ def test_median_filter_3x3_full(rng):
     ours = np.asarray(median_filter2d(jnp.asarray(x[None]), 3))[0]
     ref = cv2.medianBlur(x, 3)
     np.testing.assert_allclose(ours[1:-1, 1:-1], ref[1:-1, 1:-1], atol=1e-6)
+
+
+def test_median_selection_network(rng):
+    """The pruned Batcher selection network (ops/median) returns the
+    exact median for random and heavily-tied inputs, for both filter
+    sizes, and is materially smaller than a full sort network."""
+    from video_analytics_tpu.ops.median import (_median_network,
+                                                _median_select)
+    for k2, max_ces in ((9, 25), (25, 120)):
+        network, wire = _median_network(k2)
+        ces = sum(1 for i, j in network if j >= 0)
+        assert ces <= max_ces, (k2, ces)
+        x = rng.standard_normal((3000, k2)).astype(np.float32)
+        got = np.asarray(_median_select(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.median(x, axis=-1))
+        t = rng.integers(0, 3, (3000, k2)).astype(np.float32)
+        got_t = np.asarray(_median_select(jnp.asarray(t)))
+        np.testing.assert_array_equal(got_t, np.median(t, axis=-1))
