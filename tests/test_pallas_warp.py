@@ -110,3 +110,30 @@ def test_banded_path_matches_unbanded(rng):
     finally:
         W._band_size = orig
     np.testing.assert_array_equal(ref, banded)
+
+
+def test_minimum_band_r8():
+    """The kernel's smallest sweep band (r=8, used by the coarsest
+    pyramid levels via _level_band) against the exact XLA gather."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from video_analytics_tpu.ops.kernels import bilinear_sample
+    from video_analytics_tpu.ops.pallas.warp import pallas_warp
+
+    rng = np.random.default_rng(5)
+    B, H, W, C = 2, 40, 48, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    # constant-per-row vertical flow keeps the separable composite
+    # equal to the true bilinear sample; |flow| beyond r=8 must clamp.
+    v = jnp.broadcast_to(
+        jnp.asarray(np.linspace(-6, 6, H, dtype=np.float32))[None, :, None],
+        (B, H, W))
+    u = jnp.asarray(rng.uniform(-6, 6, (B, 1, 1)).astype(np.float32)
+                    * np.ones((B, H, W), np.float32))
+    flow = jnp.stack([u, v], axis=-1)
+    out = pallas_warp(img, flow, r=8)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    ref = bilinear_sample(img, yy + v, xx + u)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
