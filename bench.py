@@ -108,8 +108,8 @@ def measure_tpu(frames, flow_algo="farneback"):
 
     @jax.jit
     def features(frames_u8):
-        x = pp.resize_short_side(frames_u8, cfg.preprocess.resize_short)
-        x = pp.center_crop(x, cfg.preprocess.crop)
+        x = pp.resize_short_center_crop(
+            frames_u8, cfg.preprocess.resize_short, cfg.preprocess.crop)
         gray = pp.rgb_to_gray(x)
         flow = compute_flow_sequence(gray, cfg, bounded=True)
         stacks = pp.stack_flow_windows(flow, FLOW_STACK)

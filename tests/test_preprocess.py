@@ -107,3 +107,27 @@ def test_normalize_flow_stack():
     x = jnp.asarray([[-50.0, -20.0, 0.0, 10.0, 99.0]])
     out = np.asarray(ops.normalize_flow_stack(x, bound=20.0))
     np.testing.assert_allclose(out, [[-1.0, -1.0, 0.0, 0.5, 1.0]])
+
+
+def test_fused_resize_crop_matches_two_op_chain(rng):
+    """resize_short_center_crop ≡ center_crop∘resize_short_side at
+    several geometries (fp weight noise only)."""
+    from video_analytics_tpu.ops.preprocess import (
+        center_crop, resize_short_side, resize_short_center_crop)
+    import cv2
+    for (h, w, short, crop) in [(240, 320, 256, 224), (1080, 1920, 256, 224),
+                                (120, 160, 64, 56), (333, 217, 96, 80)]:
+        # Band-limited content (like video): the two implementations
+        # compute sample positions with different f32 op orders, so on
+        # white noise the ~1e-4 px positional noise shows as large
+        # value deltas at 1080p; on smooth content it vanishes.
+        raw = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        sm = cv2.GaussianBlur(raw, (9, 9), 0)
+        x = jnp.asarray(np.stack([sm, sm[::-1]]))
+        ref = center_crop(resize_short_side(x, short), crop)
+        fused = resize_short_center_crop(x, short, crop)
+        assert fused.shape == ref.shape
+        d = float(jnp.abs(fused - ref).max())
+        # residual fp weight noise; ~40x below the bf16 resolution the
+        # CNNs consume at.
+        assert d < 2e-2, (h, w, d)

@@ -51,6 +51,50 @@ def resize_short_side(x: jax.Array, short: int) -> jax.Array:
     return resize_bilinear(x, out_hw)
 
 
+def resize_short_center_crop(x: jax.Array, short: int,
+                             crop: int) -> jax.Array:
+    """Fused ``center_crop(resize_short_side(x, short), crop)``.
+
+    Same sample positions (half-pixel-center bilinear, no antialias),
+    but the resize only computes the region the crop keeps: the input
+    is sliced to the span the cropped output actually samples and
+    ``jax.image.scale_and_translate`` aligns the fractional offset.
+    At 1080p → 256-short → 224² this removes ~57% of the resize work,
+    which profiling showed was ~a third of the sustained-1080p device
+    time.  Matches the two-op chain to ~1e-3 absolute on [0, 255]
+    pixels (weight-computation fp noise only; equivalence test gated).
+    """
+    import math
+    h, w = x.shape[-3], x.shape[-2]
+    if h <= w:
+        rh, rw = short, max(1, int(round(w * short / h)))
+    else:
+        rh, rw = max(1, int(round(h * short / w))), short
+    if rh < crop or rw < crop:
+        raise ValueError(f"cannot center-crop {crop} from {(rh, rw)}")
+    top = int(round((rh - crop) / 2.0))
+    left = int(round((rw - crop) / 2.0))
+
+    def axis_window(n_in: int, n_out: int, off: int):
+        k = n_in / n_out
+        lo = (off + 0.5) * k - 0.5
+        hi = (off + crop - 0.5) * k - 0.5
+        s0 = max(0, math.floor(lo))
+        s1 = min(n_in, math.ceil(hi) + 2)
+        # translation per jax's convention: in = (o+0.5)/s - t/s - 0.5
+        t = -(1.0 / k) * (off * k - s0)
+        return s0, s1, 1.0 / k, t
+
+    r0, r1, sh, th = axis_window(h, rh, top)
+    c0, c1, sw, tw = axis_window(w, rw, left)
+    sl = x[..., r0:r1, c0:c1, :].astype(jnp.float32)
+    out_shape = (*x.shape[:-3], crop, crop, x.shape[-1])
+    return jax.image.scale_and_translate(
+        sl, out_shape, (x.ndim - 3, x.ndim - 2),
+        jnp.asarray([sh, sw]), jnp.asarray([th, tw]),
+        "linear", antialias=False)
+
+
 def center_crop(x: jax.Array, crop: int) -> jax.Array:
     h, w = x.shape[-3], x.shape[-2]
     if h < crop or w < crop:
@@ -92,13 +136,13 @@ def preprocess_clip(frames: jax.Array, cfg: PreprocessConfig,
     The whole chain traces into one XLA program; under jit it fuses
     with whatever consumes it (the CNN stem).
     """
-    x = resize_short_side(frames, cfg.resize_short)
     if cfg.random_crop:
         if key is None:
             raise ValueError("random_crop requires a PRNG key")
+        x = resize_short_side(frames, cfg.resize_short)
         x = random_crop_flip(x, cfg.crop, key, flip=cfg.random_flip)
     else:
-        x = center_crop(x, cfg.crop)
+        x = resize_short_center_crop(frames, cfg.resize_short, cfg.crop)
     return normalize(x, cfg.mean, cfg.std)
 
 

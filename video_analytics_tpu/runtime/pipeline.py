@@ -78,8 +78,8 @@ def flow_features(frames: jax.Array, variables,
                   model, cfg: PipelineConfig) -> jax.Array:
     """(T, H, W, 3) uint8 → (N, 512) flow-stream features: gray →
     crop → flow → stack → CNN, all one program, flow HBM-resident."""
-    x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
-    x = pp.center_crop(x, cfg.preprocess.crop)
+    x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
+                                    cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True)
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
@@ -98,8 +98,8 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
     rgb = pp.preprocess_clip(frames, cfg.preprocess)
     s_logits = model.spatial_logits(variables, rgb)
 
-    x = pp.resize_short_side(frames, cfg.preprocess.resize_short)
-    x = pp.center_crop(x, cfg.preprocess.crop)
+    x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
+                                    cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True)
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
