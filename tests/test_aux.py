@@ -53,6 +53,18 @@ def test_multiwindow_average(tmp_path):
     assert p1.shape == p3.shape == (3,)
     np.testing.assert_allclose(p3.sum(), 1.0, atol=1e-5)
     assert not np.allclose(p1, p3)  # different snippets contribute
+    # The batched one-dispatch path must equal the serial per-window
+    # protocol exactly (classify_batch is a vmap of classify_window).
+    from video_analytics_tpu.io.video import VideoReader
+    from video_analytics_tpu.runtime.pipeline import classify_window
+    with VideoReader(path) as r:
+        frames = r.read_all(max_frames=300)
+    win = max(cfg.window, cfg.preprocess.flow_stack + 1)
+    starts = np.linspace(0, len(frames) - win, 3).astype(int)
+    serial = np.mean([np.asarray(classify_window(frames[s:s + win],
+                                                 variables, model, cfg))
+                      for s in starts], axis=0)
+    np.testing.assert_allclose(p3, serial, atol=1e-5)
 
 
 def test_host_resize_matches_device_resize(tmp_path):

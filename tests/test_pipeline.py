@@ -87,6 +87,69 @@ def test_sample_window():
     assert len(idx) == 16 and 0 <= idx[0] <= 84
 
 
+def test_bounded_envelope_feature_ab():
+    """A/B gate for the bounded-envelope approximation (ADVICE r2 #1):
+    on content with >envelope (>24 px) motion, the reduced-band flow is
+    NOT identical to the full-band flow even after the ±flow_bound
+    clip — the winsize window-average bleeds band-clamp differences
+    into sub-envelope neighbours.  This quantifies that error so the
+    'identical features' claim stays honest: measured on this fixture
+    max 3.2 px, mean 0.074, 5.4% of pixels >0.5 px; gated at ~1.5x.
+    Within-envelope motion is exactly equal
+    (test_farneback.test_bounded_envelope_equivalence)."""
+    import cv2
+    from video_analytics_tpu.flow.farneback import farneback_sequence
+    from video_analytics_tpu.config import FarnebackConfig
+
+    rng = np.random.default_rng(0)
+    h = w = 192
+    pad = 48
+    big = rng.uniform(0, 255, (h + 2 * pad, w + 2 * pad)).astype(
+        np.float32)
+    big = cv2.GaussianBlur(big, (31, 31), 0)
+    big = (big - big.min()) / np.ptp(big) * 255.0
+    f1 = big[pad:pad + h, pad:pad + w].copy()
+    m2 = np.float32([[1, 0, 28.0], [0, 1, 6.0]])
+    f2w = cv2.warpAffine(big, m2, big.shape[::-1],
+                         flags=cv2.INTER_CUBIC)
+    f2 = f2w[pad:pad + h, pad:pad + w].copy()
+    frames = jnp.asarray(np.stack([f1, f2]))
+    full = np.asarray(farneback_sequence(frames, FarnebackConfig(),
+                                         use_pallas=True))
+    red = np.asarray(farneback_sequence(frames, FarnebackConfig(),
+                                        use_pallas=True, envelope=24))
+    # The fixture genuinely produces >envelope displacements.
+    assert np.abs(full).max() > 24.0
+    bound = 20.0
+    d = np.linalg.norm(np.clip(full, -bound, bound)
+                       - np.clip(red, -bound, bound), axis=-1)
+    assert d.max() < 5.0, d.max()
+    assert d.mean() < 0.12, d.mean()
+    assert (d > 0.5).mean() < 0.09, (d > 0.5).mean()
+
+
+def test_exact_warp_config():
+    """PipelineConfig(exact_warp=True) (`compute-flow --exact`) routes
+    all flow warps through the exact XLA gather: off-TPU the default
+    path is already the gather, so both must agree bitwise."""
+    import dataclasses
+    from tests.fixtures import smooth_pair
+    from video_analytics_tpu.config import TVL1Config
+    rng = np.random.default_rng(1)
+    f1, f2 = smooth_pair(rng, 64, 96, dx=2.0, dy=-1.0)
+    prev = jnp.asarray(f1[None])
+    nxt = jnp.asarray(f2[None])
+    fast_tv = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                         inner_iterations=8)
+    for algo in ("farneback", "tvl1"):
+        cfg_d = PipelineConfig(flow_algo=algo, tvl1=fast_tv,
+                               farneback=FAST.farneback)
+        cfg_e = dataclasses.replace(cfg_d, exact_warp=True)
+        a = np.asarray(rp.compute_flow(prev, nxt, cfg_d))
+        b = np.asarray(rp.compute_flow(prev, nxt, cfg_e))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fusion_weights():
     model = TwoStreamModel.create(num_classes=4,
                                   fusion_weights=(1.0, 3.0))

@@ -142,8 +142,12 @@ def test_banded_solver_bitexact_vs_monolithic(rng):
 
 def test_banded_solver_in_driver(rng):
     """Full tvl1 driver with the banded path forced must match the XLA
-    reference driver closely (same algorithm, kernel path swapped)."""
+    reference driver closely (same algorithm, SOLVER kernel path
+    swapped; the warp is pinned to the exact gather in both runs so
+    only the solver differs — use_pallas=True otherwise swaps the
+    Pallas warp in too)."""
     import video_analytics_tpu.ops.pallas.tvl1_solve as ts
+    import video_analytics_tpu.ops.pallas.warp as pw
 
     cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
                      inner_iterations=6, median_filtering=5)
@@ -151,14 +155,17 @@ def test_banded_solver_in_driver(rng):
     ref = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
                           cfg, use_pallas=False))
     orig_fits, orig_params = ts.solver_fits_vmem, ts.banded_params
+    orig_warp_fits = pw.warp_fits_vmem
     ts.solver_fits_vmem = lambda *a: False
     ts.banded_params = lambda h, w, c: (16, 4)
+    pw.warp_fits_vmem = lambda *a, **k: False
     try:
         out = np.asarray(tvl1(jnp.asarray(f1[None]),
                               jnp.asarray(f2[None]), cfg,
                               use_pallas=True))
     finally:
         ts.solver_fits_vmem, ts.banded_params = orig_fits, orig_params
+        pw.warp_fits_vmem = orig_warp_fits
     epe = np.linalg.norm(out - ref, axis=-1)
     assert epe.max() < 1e-4, epe.max()
 

@@ -82,7 +82,9 @@ def cmd_compute_flow(args) -> int:
             {"params": weights["params"]}, a, b))
     else:
         fb, tv = _flow_configs(args)
-        cfg = PipelineConfig(flow_algo=args.algo, farneback=fb, tvl1=tv)
+        cfg = PipelineConfig(flow_algo=args.algo, farneback=fb, tvl1=tv,
+                             exact_warp=bool(getattr(args, "exact",
+                                                     False)))
         base = jax.jit(lambda a, b: compute_flow(a, b, cfg))
     if args.no_bucket:
         fn = base
@@ -125,23 +127,27 @@ def cmd_compute_flow(args) -> int:
 
 def _flow_configs(args):
     """(FarnebackConfig, TVL1Config) from the optional algorithm args
-    (_add_flow_args); absent args keep the cv2 defaults."""
+    (_add_flow_args).  Only args the user actually set (non-None) are
+    passed through, so the dataclass defaults in config.py stay the
+    single source of truth for the cv2 parameter values."""
     from video_analytics_tpu.config import FarnebackConfig, TVL1Config
-    g = lambda n, d: getattr(args, n, None) if getattr(args, n, None) \
-        is not None else d
-    fb = FarnebackConfig(
-        pyr_scale=g("fb_pyr_scale", 0.5), levels=g("fb_levels", 3),
-        winsize=g("fb_winsize", 15), iterations=g("fb_iterations", 3),
-        poly_n=g("fb_poly_n", 5), poly_sigma=g("fb_poly_sigma", 1.2),
-        gaussian_window=bool(getattr(args, "fb_gaussian", False)))
-    tv = TVL1Config(
-        tau=g("tv_tau", 0.25), lambda_=g("tv_lambda", 0.15),
-        theta=g("tv_theta", 0.3), nscales=g("tv_nscales", 5),
-        warps=g("tv_warps", 5), epsilon=g("tv_epsilon", 0.01),
-        inner_iterations=g("tv_inner", 30), outer_iterations=g("tv_outer", 10),
-        scale_step=g("tv_scale_step", 0.8),
-        median_filtering=g("tv_median", 5))
-    return fb, tv
+    fb_map = {"fb_pyr_scale": "pyr_scale", "fb_levels": "levels",
+              "fb_winsize": "winsize", "fb_iterations": "iterations",
+              "fb_poly_n": "poly_n", "fb_poly_sigma": "poly_sigma"}
+    tv_map = {"tv_tau": "tau", "tv_lambda": "lambda_",
+              "tv_theta": "theta", "tv_nscales": "nscales",
+              "tv_warps": "warps", "tv_epsilon": "epsilon",
+              "tv_inner": "inner_iterations",
+              "tv_outer": "outer_iterations",
+              "tv_scale_step": "scale_step",
+              "tv_median": "median_filtering"}
+    pick = lambda m: {field: getattr(args, arg)
+                      for arg, field in m.items()
+                      if getattr(args, arg, None) is not None}
+    fb_kw = pick(fb_map)
+    if getattr(args, "fb_gaussian", False):
+        fb_kw["gaussian_window"] = True
+    return FarnebackConfig(**fb_kw), TVL1Config(**pick(tv_map))
 
 
 def _add_flow_args(p):
@@ -532,6 +538,10 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("--spynet-checkpoint", default=None,
                     help="weights for --algo spynet (default: bundled "
                          "checkpoints/spynet_synthetic.msgpack)")
+    cf.add_argument("--exact", action="store_true",
+                    help="force the exact XLA gather warp instead of "
+                         "the Pallas banded separable warp (bitwise "
+                         "cv2 warp semantics; much slower on TPU)")
     cf.add_argument("--no-bucket", action="store_true",
                     help="compute flow at the exact native resolution "
                          "instead of padding to the 64px shape ladder "

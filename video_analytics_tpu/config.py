@@ -112,6 +112,10 @@ class PipelineConfig:
     window: int = 16            # frames per window
     window_stride: int = 8
     compute_dtype: str = "bfloat16"  # CNN compute dtype on TPU
+    # Force the exact XLA gather for all flow warps instead of the
+    # Pallas banded separable warp (bitwise cv2 warp semantics at
+    # ~50x the warp cost on TPU; `compute-flow --exact`).
+    exact_warp: bool = False
 
     def __post_init__(self):
         if self.flow_algo not in ("tvl1", "farneback"):

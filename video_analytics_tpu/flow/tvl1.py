@@ -65,21 +65,25 @@ def _downscale(img: jax.Array, out_hw: Tuple[int, int],
 
 
 def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
-               u: jax.Array, v: jax.Array, band: Optional[int] = None):
+               u: jax.Array, v: jax.Array, band: Optional[int] = None,
+               use_pallas: Optional[bool] = None):
     """Warp I1 and its gradients by the current flow (u, v).
 
     On TPU this is the Pallas banded warp (ops/pallas/warp.py — the
-    gather-free hot-path kernel); elsewhere, or when the level is too
-    large for the kernel's VMEM working set, the exact XLA gather.
-    `band` scales the sweep to the pyramid level's displacement
-    envelope (see flow.farneback._level_band — same argument)."""
+    gather-free hot-path kernel); elsewhere, when the level is too
+    large for the kernel's VMEM working set, or with use_pallas=False
+    (the `--exact` escape hatch), the exact XLA gather.  `band` scales
+    the sweep to the pyramid level's displacement envelope (see
+    flow.farneback._level_band — same argument)."""
     from video_analytics_tpu.ops.pallas.warp import (
         DEFAULT_BAND, pallas_warp, warp_fits_vmem)
     from video_analytics_tpu.utils.platform import on_tpu
 
     B, H, W = I1.shape
+    if use_pallas is None:
+        use_pallas = on_tpu()
     stacked = jnp.stack([I1, I1x, I1y], axis=-1)
-    if on_tpu() and warp_fits_vmem(H, W, 3):
+    if use_pallas and warp_fits_vmem(H, W, 3):
         w = pallas_warp(stacked, jnp.stack([u, v], axis=-1),
                         r=band or DEFAULT_BAND)
     else:
@@ -229,7 +233,8 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         band = _level_band(cfg.scale_step ** s)
         for _ in range(cfg.warps):
             u0, v0 = u, v
-            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0, band=band)
+            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0, band=band,
+                                         use_pallas=use_pallas)
             if fused or banded:
                 grad = I1wx * I1wx + I1wy * I1wy
                 rho_c = I1w - I1wx * u0 - I1wy * v0 - I0

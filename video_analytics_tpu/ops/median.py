@@ -40,9 +40,11 @@ def _batcher_pairs(n: int) -> Tuple[Tuple[int, int], ...]:
 
 
 @functools.lru_cache(maxsize=8)
-def _median_network(k2: int) -> Tuple[Tuple[int, int], ...]:
-    """Compare-exchange pairs computing the median of k2 values on
-    wire k2//2, derived from a padded Batcher sort by (a) dropping
+def _median_network(k2: int) -> Tuple[Tuple[Tuple[int, int], ...], int]:
+    """(compare-exchange pairs, median wire) computing the median of k2
+    values (k2 must be odd — enforced by median_filter2d; for even k2
+    the network would return the upper-middle element, not the mean of
+    the two middles), derived from a padded Batcher sort by (a) dropping
     exchanges that only move +inf padding (wires >= k2 start at +inf:
     min(x, inf) = x means such an exchange just renames wires, tracked
     symbolically) and (b) backward-pruning exchanges that cannot reach

@@ -214,10 +214,14 @@ def pallas_warp(img: jax.Array, flow: jax.Array,
     return outT.transpose(0, 3, 2, 1)                    # (B, H, W, C)
 
 
-def warp_fits_vmem(h: int, w: int, c: int, r: int = DEFAULT_BAND) -> bool:
+def warp_fits_vmem(h: int, w: int, _c: int = 1,
+                   r: int = DEFAULT_BAND) -> bool:
     """Always true since row-banding landed — kept for call sites that
     gate on it (returns False only for absurd widths where even one
-    8-row banded block exceeds VMEM for a single channel)."""
+    8-row banded block exceeds VMEM for a single channel).
+
+    ``_c`` is ignored: _axis_warp_any splits channels when a band
+    overflows, so the gate is channel-independent by construction."""
     r = max(1, min(r, h - 2, w - 2))
     m = max(h, w)
     mp = -(-m // 128) * 128

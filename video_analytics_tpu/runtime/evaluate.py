@@ -56,8 +56,13 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
     num_windows=1: the centre window (fast smoke/eval).
     num_windows=N: N evenly-spaced windows, probabilities averaged —
     the classic two-stream multi-snippet protocol (temporal pooling is
-    associative, so window probs reduce exactly via a running mean).
+    associative, so window probs reduce exactly via a mean).  The N
+    windows are stacked and classified in ONE vmapped dispatch
+    (runtime.pipeline.classify_batch) — through a high-RTT transport
+    N serial launches would pay N× dispatch latency for no reason.
     """
+    from video_analytics_tpu.runtime.pipeline import classify_batch
+
     with VideoReader(path) as r:
         frames = r.read_all(max_frames=max_frames)
     # Window must cover flow_stack+1 frames to build one flow stack.
@@ -68,12 +73,9 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
         return np.asarray(classify_window(frames[idx], variables,
                                           model, cfg))
     starts = np.linspace(0, t - win, num_windows).astype(int)
-    acc = None
-    for s in starts:
-        p = np.asarray(classify_window(frames[s:s + win], variables,
-                                       model, cfg))
-        acc = p if acc is None else acc + p
-    return acc / len(starts)
+    wins = np.stack([frames[s:s + win] for s in starts])
+    probs = np.asarray(classify_batch(wins, variables, model, cfg))
+    return probs.mean(0)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))

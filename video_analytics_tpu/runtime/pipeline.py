@@ -29,9 +29,12 @@ def compute_flow(gray_pairs_prev: jax.Array, gray_pairs_next: jax.Array,
                  cfg: PipelineConfig) -> jax.Array:
     """(B, H, W) gray pairs → (B, H, W, 2) flow with the configured
     algorithm."""
+    use_pallas = False if cfg.exact_warp else None
     if cfg.flow_algo == "tvl1":
-        return tvl1(gray_pairs_prev, gray_pairs_next, cfg.tvl1)
-    return farneback(gray_pairs_prev, gray_pairs_next, cfg.farneback)
+        return tvl1(gray_pairs_prev, gray_pairs_next, cfg.tvl1,
+                    use_pallas=use_pallas)
+    return farneback(gray_pairs_prev, gray_pairs_next, cfg.farneback,
+                     use_pallas=use_pallas)
 
 
 def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig,
@@ -46,14 +49,22 @@ def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig,
     bounded=True tells the Farneback warp kernels the caller clips the
     result to ±flow_bound px (normalize_flow_stack does, immediately
     after) so they can sweep a flow_bound+4 displacement envelope
-    instead of the full 32 px — identical features, ~20% less sweep
-    work.  The compute-flow CLI surface keeps bounded=False."""
+    instead of the full 32 px — ~20% less sweep work.  This is an
+    APPROXIMATION, not an identity: the reduced band is exact for
+    displacements within the envelope, but pixels moving faster than
+    it clamp differently, and the winsize window-average can bleed
+    those differences a few pixels into sub-envelope neighbours before
+    the final clip (A/B-gated on >envelope motion in
+    tests/test_pipeline.py::test_bounded_envelope_feature_ab).  The
+    compute-flow CLI surface keeps bounded=False."""
+    use_pallas = False if cfg.exact_warp else None
     if cfg.flow_algo == "tvl1":
-        return tvl1(gray[:-1], gray[1:], cfg.tvl1)
+        return tvl1(gray[:-1], gray[1:], cfg.tvl1, use_pallas=use_pallas)
     from video_analytics_tpu.flow.farneback import farneback_sequence
     envelope = (int(np.ceil(cfg.preprocess.flow_bound)) + 4
                 if bounded else None)
-    return farneback_sequence(gray, cfg.farneback, envelope=envelope)
+    return farneback_sequence(gray, cfg.farneback, envelope=envelope,
+                              use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
