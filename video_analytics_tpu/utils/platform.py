@@ -15,14 +15,35 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the flow pyramids compile large Mosaic/
-# XLA programs (minutes cold); cache them across processes.  Opt out
-# with TPUVA_JAX_CACHE=off.
-_cache_dir = os.environ.get("TPUVA_JAX_CACHE",
-                            "/tmp/tpuva_jax_cache")
-if _cache_dir and _cache_dir != "off":
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU for the cache key: XLA:CPU AOT
+    artifacts are compiled for the build machine's feature set, and
+    reusing them on a different host warns (or SIGILLs) — seen in
+    MULTICHIP_r02's tail when one shared dir served two machine types.
+    TPU executables are unaffected but keying by host is harmless."""
+    import hashlib
+    import platform as _plat
+    tag = _plat.machine() or "unknown"
     try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += "-" + hashlib.sha1(
+                        line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return tag
+
+
+# Persistent compilation cache: the flow pyramids compile large Mosaic/
+# XLA programs (minutes cold); cache them across processes, keyed by
+# host machine (see _machine_tag).  Opt out with TPUVA_JAX_CACHE=off.
+_cache_base = os.environ.get("TPUVA_JAX_CACHE", "/tmp/tpuva_jax_cache")
+if _cache_base and _cache_base != "off":
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_cache_base, _machine_tag()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # config name drift across jax versions
         pass
