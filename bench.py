@@ -1,5 +1,7 @@
-"""North-star benchmark: frames/sec/chip (decode-excluded) for dense
-optical flow + CNN feature extraction, vs the measured CPU reference.
+"""North-star benchmarks (BASELINE.json:2): frames/sec/chip
+(decode-excluded) for dense optical flow + CNN feature extraction, AND
+end-to-end eval clips/sec (threaded decode → prefetch → batched fused
+two-stream classify), vs the measured CPU reference.
 
 The reference pipeline (cv2 Farneback + torch-CPU ResNet-18) publishes
 no numbers (BASELINE.md), so its throughput is MEASURED here on the
@@ -7,7 +9,11 @@ same host, on the same frames, at the same 224x224 resolution, then
 compared with the fused TPU pipeline (gray → Farneback flow → stacked
 flow features, + RGB features; all one jit program per stage).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Pinned protocol (r3): the headline `value` is the absolute TPU fps;
+the CPU denominator is >=20 pairs, median of 5 passes, and ratios are
+published only when it lands inside CPU_FPS_BAND.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -25,8 +31,13 @@ sys.path.insert(0, REPO)
 SRC_H, SRC_W = 240, 320  # decode-resolution source (UCF101-native-like)
 H, W = 224, 224          # crop size after the resize-256 protocol
 N_FRAMES = 65            # frames per measured chunk (64 flow pairs)
-CPU_PAIRS = 6            # CPU reference sample size (it's slow)
+CPU_PAIRS = 20           # CPU reference sample size (pinned, r3)
+# Sanity band for the measured CPU denominator (frames/s): readings on
+# this host have ranged 9.4-12.7; a reading outside the band means the
+# measurement is corrupted (host contention) and no ratio is published.
+CPU_FPS_BAND = (5.0, 30.0)
 FLOW_STACK = 10
+CLIPS_DATASET = "/tmp/tpuva_bench_ucf101"
 
 
 def make_frames(n, h, w, seed=0):
@@ -73,9 +84,12 @@ def measure_cpu_reference(frames):
     # Warm up torch once (thread pools etc).
     with torch.no_grad():
         model(torch.zeros(1, 3, H, W))
-    # Host wall time is noisy on this 1-core box: best of 3 passes.
-    best = float("inf")
-    for _ in range(3):
+    # Pinned protocol (VERDICT r2 next #3): >=20 pairs, MEDIAN of 5
+    # passes — the median is robust to the 1-core host's scheduling
+    # noise in a way best-of-N is not, making the denominator (and so
+    # vs_baseline) reproducible across runs.
+    times = []
+    for _ in range(5):
         t0 = time.perf_counter()
         crops = [_protocol_resize_crop(frames[i]) for i in range(n + 1)]
         gray = [cv2.cvtColor(c, cv2.COLOR_RGB2GRAY) for c in crops]
@@ -86,8 +100,8 @@ def measure_cpu_reference(frames):
             with torch.no_grad():
                 model(torch.from_numpy(x.transpose(2, 0, 1)[None]),
                       return_features=True)
-        best = min(best, time.perf_counter() - t0)
-    return n / best
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 def measure_tpu(frames, flow_algo="farneback"):
@@ -262,6 +276,98 @@ def measure_sustained_1080p():
     return compute_best, ingest_fps
 
 
+def _clips_dataset():
+    """The synthetic UCF101-layout benchmark dataset (32 encoded test
+    clips, 8 motion classes); built once, reused across runs."""
+    from video_analytics_tpu.io.synthetic import build_synthetic_ucf101
+    return build_synthetic_ucf101(
+        CLIPS_DATASET, num_classes=8, clips_per_class=4,
+        num_frames=48, h=SRC_H, w=SRC_W, train_fraction=0.0)
+
+
+def measure_clips_per_sec():
+    """The second north-star number (BASELINE.json:2, config #4):
+    end-to-end eval throughput in clips/sec — threaded container
+    decode → prefetch → batched fused two-stream classify → accuracy,
+    over the synthetic UCF101-layout dataset.  This is the one metric
+    that exercises the WHOLE system including host decode overlap."""
+    import jax
+    import jax.numpy as jnp
+    from video_analytics_tpu.config import PipelineConfig
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import evaluate_batched
+
+    ds = _clips_dataset()
+    records = ds.test_records()
+    cfg = PipelineConfig(flow_algo="farneback", window=16)
+    model = TwoStreamModel.create(num_classes=101, flow_stack=FLOW_STACK,
+                                  dtype=jnp.bfloat16)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    # Compile + warm on a subset (batches pad to batch_clips, so the
+    # subset compiles the same executable the timed run uses).
+    evaluate_batched(records[:2], variables, model, cfg,
+                     batch_clips=8, num_workers=2)
+    t0 = time.perf_counter()
+    res = evaluate_batched(records, variables, model, cfg,
+                           batch_clips=8, num_workers=2)
+    dt = time.perf_counter() - t0
+    if res.total != len(records) or res.failed:
+        raise RuntimeError(f"clips bench eval incomplete: {res.as_dict()}")
+    return res.total / dt
+
+
+def measure_cpu_clips_per_sec(n_clips: int = 2):
+    """CPU-reference equivalent of measure_clips_per_sec, protocol-
+    matched (same dataset, decode included, centre 16-frame window,
+    resize-256/crop-224, Farneback flow, both torch-CPU streams,
+    temporal-mean + weighted-softmax fusion); n_clips timed serially
+    and extrapolated per clip — the full 32 would take minutes."""
+    import cv2
+    import torch
+    from tests.torch_resnet import random_torch_resnet18
+    from video_analytics_tpu.io.video import VideoReader
+
+    ds = _clips_dataset()
+    records = ds.test_records()[:n_clips]
+    rgb_model = random_torch_resnet18(seed=0, num_classes=101)
+    flow_model = random_torch_resnet18(seed=1, num_classes=101,
+                                      in_channels=2 * FLOW_STACK)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    with torch.no_grad():        # warm thread pools
+        rgb_model(torch.zeros(1, 3, H, W))
+        flow_model(torch.zeros(1, 2 * FLOW_STACK, H, W))
+
+    win = 16
+    t0 = time.perf_counter()
+    for rec in records:
+        with VideoReader(rec.path) as r:
+            frames = r.read_all(max_frames=300)
+        start = (len(frames) - win) // 2
+        window = frames[start:start + win]
+        crops = np.stack([_protocol_resize_crop(f) for f in window])
+        gray = [cv2.cvtColor(c, cv2.COLOR_RGB2GRAY) for c in crops]
+        flows = [cv2.calcOpticalFlowFarneback(
+            gray[i], gray[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0)
+            for i in range(win - 1)]
+        flows = np.stack(flows)                      # (15, H, W, 2)
+        with torch.no_grad():
+            x = (crops.astype(np.float32) / 255.0 - mean) / std
+            rgb_logits = rgb_model(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy().mean(0)
+            stacks = np.stack([
+                flows[i:i + FLOW_STACK].transpose(1, 2, 0, 3)
+                .reshape(H, W, 2 * FLOW_STACK)
+                for i in range(win - 1 - FLOW_STACK + 1)])
+            stacks = np.clip(stacks, -20.0, 20.0) / 20.0
+            flow_logits = flow_model(torch.from_numpy(
+                stacks.transpose(0, 3, 1, 2))).numpy().mean(0)
+        e_r = np.exp(rgb_logits - rgb_logits.max())
+        e_f = np.exp(flow_logits - flow_logits.max())
+        _probs = (1.0 * e_r / e_r.sum() + 1.5 * e_f / e_f.sum()) / 2.5
+    return n_clips / (time.perf_counter() - t0)
+
+
 def main():
     frames = make_frames(N_FRAMES, SRC_H, SRC_W)
     # Sustained + native-1080p run FIRST: the other measurements leave
@@ -292,12 +398,29 @@ def main():
         tvl1_pps = round(measure_tvl1(frames), 2)
     except Exception:
         tvl1_pps = None
+    try:
+        clips_ps = round(measure_clips_per_sec(), 3)
+    except Exception:
+        clips_ps = None
+    try:
+        cpu_clips_ps = round(measure_cpu_clips_per_sec(), 4)
+    except Exception:
+        cpu_clips_ps = None
+    # Pinned protocol: the headline `value` is the ABSOLUTE fps; the
+    # ratio is only published when the measured CPU denominator lands
+    # in its sanity band (host contention otherwise corrupts it).
+    cpu_ok = CPU_FPS_BAND[0] <= cpu_fps <= CPU_FPS_BAND[1]
     result = {
         "metric": "frames_per_sec_per_chip_flow_plus_features",
         "value": round(tpu_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "vs_baseline": round(tpu_fps / cpu_fps, 2) if cpu_ok else None,
         "cpu_reference_fps": round(cpu_fps, 2),
+        "cpu_reference_in_band": cpu_ok,
+        "clips_per_sec": clips_ps,
+        "cpu_reference_clips_per_sec": cpu_clips_ps,
+        "clips_vs_baseline": (round(clips_ps / cpu_clips_ps, 2)
+                              if clips_ps and cpu_clips_ps else None),
         "tvl1_flow_plus_features_fps": tvl1_fps,
         "tvl1_pairs_per_sec_224": tvl1_pps,
         "tvl1_1080p_pairs_per_sec": tvl1_1080p,
@@ -317,6 +440,10 @@ def main():
             if result[k] is not None:
                 mw.emit(k, result[k],
                         "pairs/s" if "pairs" in k else "frames/s")
+        if result["clips_per_sec"] is not None:
+            mw.emit("clips_per_sec", result["clips_per_sec"], "clips/s",
+                    cpu_reference_clips_per_sec=result[
+                        "cpu_reference_clips_per_sec"])
     except Exception:
         pass
     print(json.dumps(result))
