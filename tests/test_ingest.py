@@ -74,3 +74,91 @@ def test_prefetch_clips_stress():
     assert set(got) == expect
     for p, v in got.items():
         assert v == int(p[4:])
+
+
+# ---------------------------------------------------------------------------
+# TrainWindowSampler (the ingest-fed train loop, VERDICT r2 missing #3)
+# ---------------------------------------------------------------------------
+
+def _make_train_clips(tmp_path, n=4, frames=8):
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    records = []
+    for i in range(n):
+        p = str(tmp_path / f"t{i}.mp4")
+        synthesize_video(p, moving_square_frames(frames, 120, 160), fps=8)
+        records.append(ClipRecord(path=p, label=i % 2, class_name=str(i)))
+    return records
+
+
+def test_train_sampler_decodes_ahead(tmp_path):
+    """Decode genuinely overlaps the consumer: while the consumer
+    'trains' (sleeps), worker threads keep filling the queue — the
+    next batch is already decoded when the step finishes."""
+    import time
+    from video_analytics_tpu.ingest.train_loader import TrainWindowSampler
+
+    records = _make_train_clips(tmp_path)
+    with TrainWindowSampler(records, window=6, batch=2, num_workers=2,
+                            queue_depth=8) as s:
+        it = s.batches()
+        w, y = next(it)
+        assert w.shape == (2, 6, 120, 160, 3) and y.shape == (2,)
+        time.sleep(2.0)               # a long "train step"
+        # Workers decoded ahead during the sleep.
+        assert s.qsize() >= 6, s.qsize()
+        w2, _ = next(it)              # and the next batch is instant
+        assert w2.shape == w.shape
+        assert s.stats["windows"] == 4
+
+
+def test_train_sampler_window_cache(tmp_path):
+    """--cache-dir: first run decodes containers and writes per-clip
+    .npy; a second sampler over the same cache does ZERO container
+    decodes."""
+    from video_analytics_tpu.ingest.train_loader import TrainWindowSampler
+
+    records = _make_train_clips(tmp_path, n=1)
+    cache = str(tmp_path / "cache")
+    with TrainWindowSampler(records, window=4, batch=2, num_workers=2,
+                            cache_dir=cache) as s:
+        it = s.batches()
+        a = next(it)
+        next(it)
+        assert s.stats["decodes"] >= 1
+    import os
+    assert len([f for f in os.listdir(cache)
+                if f.endswith(".npy")]) == 1
+
+    with TrainWindowSampler(records, window=4, batch=2, num_workers=2,
+                            cache_dir=cache, seed=0) as s2:
+        it2 = s2.batches()
+        b = next(it2)
+        next(it2)
+        assert s2.stats["decodes"] == 0
+        assert s2.stats["cache_hits"] >= 2
+    assert a[0].shape == b[0].shape
+    # The cache holds exactly the decoded frames (lossless round-trip).
+    from video_analytics_tpu.io.video import VideoReader
+    cached = np.load(os.path.join(
+        cache, [f for f in os.listdir(cache) if f.endswith(".npy")][0]))
+    with VideoReader(records[0].path) as r:
+        np.testing.assert_array_equal(cached, r.read_all(max_frames=120))
+
+
+def test_train_sampler_all_corrupt_raises(tmp_path):
+    """Every record failing must surface as an error, not a hang."""
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.ingest.train_loader import TrainWindowSampler
+
+    bad = []
+    for i in range(2):
+        p = str(tmp_path / f"bad{i}.mp4")
+        open(p, "wb").write(b"junk")
+        bad.append(ClipRecord(path=p, label=0, class_name="x"))
+    with TrainWindowSampler(bad, window=4, batch=2,
+                            num_workers=2) as s:
+        with pytest.raises(RuntimeError, match="decode workers"):
+            next(s.batches())
+        assert s.stats["failures"] >= 2
