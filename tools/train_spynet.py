@@ -1,0 +1,123 @@
+"""Train the SpyNet-style learned flow on synthetic motion (VERDICT r2
+next #9: include the `local_blobs` moving-object regime, then compare
+against TV-L1/Farneback on shared content — see tools/flow_quality.py).
+
+Run on the TPU (plain `python`, no pytest env):
+    nohup python tools/train_spynet.py --steps 4000 --local-blobs 2 \
+        --out /tmp/spynet_blobs.msgpack > /tmp/spynet_train.log 2>&1 &
+
+The shipped checkpoint is video_analytics_tpu/checkpoints_data/
+spynet_synthetic.msgpack; replace it only if blob-motion val EPE beats
+the incumbent (the script prints both).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuva_jax_cache")
+
+
+def val_epe(model, params, key, batches: int = 8, batch: int = 8,
+            hw=(64, 64), local_blobs: int = 0) -> float:
+    """Mean EPE over held-out synthetic pairs of a given regime."""
+    import jax
+    import jax.numpy as jnp
+    from video_analytics_tpu.models.spynet import synthetic_pair
+
+    @jax.jit
+    def epe_batch(params, key):
+        prev, nxt, gt = synthetic_pair(key, batch, *hw,
+                                       local_blobs=local_blobs)
+        flow = model.apply({"params": params}, prev, nxt)
+        return jnp.mean(jnp.sqrt(jnp.sum((flow - gt) ** 2, -1) + 1e-8))
+
+    total = 0.0
+    for i in range(batches):
+        total += float(epe_batch(params, jax.random.fold_in(key, i)))
+    return total / batches
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--local-blobs", type=int, default=2,
+                    help="moving-object translations per synthetic pair")
+    ap.add_argument("--mix-affine", type=float, default=0.5,
+                    help="fraction of steps trained on pure-affine "
+                         "pairs (keeps the global-motion regime sharp)")
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--init", default=None,
+                    help="warm-start checkpoint (e.g. the shipped one)")
+    args = ap.parse_args()
+
+    import jax
+    import optax
+    from video_analytics_tpu.models.spynet import (
+        SpyNet, init_spynet, make_spynet_train_step)
+    from video_analytics_tpu.runtime.checkpoint import (
+        load_variables, save_variables)
+
+    model = SpyNet(levels=args.levels)
+    key = jax.random.PRNGKey(args.seed)
+    params = init_spynet(model, key)["params"]
+    if args.init:
+        params = load_variables(args.init, {"params": params})["params"]
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+    hw = (args.hw, args.hw)
+    step_blobs = make_spynet_train_step(model, tx, batch=args.batch,
+                                        hw=hw,
+                                        local_blobs=args.local_blobs)
+    step_affine = make_spynet_train_step(model, tx, batch=args.batch,
+                                         hw=hw, local_blobs=0)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        step = step_affine if (i % 100) < args.mix_affine * 100 \
+            else step_blobs
+        params, opt_state, loss, epe = step(params, opt_state, sub)
+        if (i + 1) % 200 == 0:
+            print(f"step {i + 1}: loss {float(loss):.4f} "
+                  f"epe {float(epe):.4f} "
+                  f"({(time.time() - t0) / (i + 1):.3f}s/step)",
+                  flush=True)
+
+    vkey = jax.random.PRNGKey(args.seed + 1234)
+    affine = val_epe(model, params, vkey, hw=hw, local_blobs=0)
+    blobs = val_epe(model, params, vkey, hw=hw,
+                    local_blobs=max(1, args.local_blobs))
+    print(f"val EPE: affine {affine:.4f}  blobs {blobs:.4f}")
+    save_variables(args.out, {"params": params})
+    print(f"saved {args.out}")
+
+    # Incumbent comparison on the same val draws.
+    try:
+        from video_analytics_tpu.models.spynet import \
+            default_spynet_checkpoint
+        inc = load_variables(default_spynet_checkpoint(),
+                             {"params": init_spynet(
+                                 SpyNet(levels=args.levels),
+                                 jax.random.PRNGKey(0))["params"]})
+        inc_affine = val_epe(model, inc["params"], vkey, hw=hw,
+                             local_blobs=0)
+        inc_blobs = val_epe(model, inc["params"], vkey, hw=hw,
+                            local_blobs=max(1, args.local_blobs))
+        print(f"incumbent EPE: affine {inc_affine:.4f}  "
+              f"blobs {inc_blobs:.4f}")
+    except FileNotFoundError:
+        print("no incumbent checkpoint to compare")
+
+
+if __name__ == "__main__":
+    main()

@@ -247,6 +247,7 @@ def solver_fits_vmem(h: int, w: int, median: int) -> bool:
 def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
                   uin_ref, vin_ref,
                   p11i_ref, p12i_ref, p21i_ref, p22i_ref, rowg_ref,
+                  act_ref,
                   uout_ref, vout_ref,
                   p11o_ref, p12o_ref, p21o_ref, p22o_ref, err_ref,
                   *, cfg: TVL1Config, iters: int, h_true: int,
@@ -258,6 +259,11 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
     image edges behave exactly like the whole-plane kernel no matter
     which band they fall in; `err` is the final iteration's squared
     update summed over the band's interior TRUE rows only.
+
+    `act` (per-block scalar plane) is the convergence-adaptive gate:
+    inactive blocks skip ALL iteration compute and pass their state
+    through unchanged (the VPU work is what the banded 1080p solver is
+    bound by, so converged bands become ~free).
     """
     N, W = uin_ref.shape
     f32 = jnp.float32
@@ -318,41 +324,56 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
     def inner_step(_, state):
         return step_core(state, with_err=False)
 
-    init = (uin_ref[:], vin_ref[:], p11i_ref[:], p12i_ref[:],
-            p21i_ref[:], p22i_ref[:], jnp.asarray(0.0, f32))
-    state = jax.lax.fori_loop(0, iters - 1, inner_step, init)
-    u, v, p11, p12, p21, p22, err = step_core(state, with_err=True)
-    uout_ref[:] = u
-    vout_ref[:] = v
-    p11o_ref[:] = p11
-    p12o_ref[:] = p12
-    p21o_ref[:] = p21
-    p22o_ref[:] = p22
-    err_ref[:] = jnp.full(err_ref.shape, err, f32)
+    active = act_ref[0, 0] > 0.5
+
+    @pl.when(active)
+    def _run():
+        init = (uin_ref[:], vin_ref[:], p11i_ref[:], p12i_ref[:],
+                p21i_ref[:], p22i_ref[:], jnp.asarray(0.0, f32))
+        state = jax.lax.fori_loop(0, iters - 1, inner_step, init)
+        u, v, p11, p12, p21, p22, err = step_core(state, with_err=True)
+        uout_ref[:] = u
+        vout_ref[:] = v
+        p11o_ref[:] = p11
+        p12o_ref[:] = p12
+        p21o_ref[:] = p21
+        p22o_ref[:] = p22
+        err_ref[:] = jnp.full(err_ref.shape, err, f32)
+
+    @pl.when(jnp.logical_not(active))
+    def _passthrough():
+        uout_ref[:] = uin_ref[:]
+        vout_ref[:] = vin_ref[:]
+        p11o_ref[:] = p11i_ref[:]
+        p12o_ref[:] = p12i_ref[:]
+        p21o_ref[:] = p21i_ref[:]
+        p22o_ref[:] = p22i_ref[:]
+        err_ref[:] = jnp.zeros(err_ref.shape, f32)
 
 
-def _run_chunk(blocks, rowg_blocks, cfg: TVL1Config, iters: int,
-               h_true: int, band: int, halo: int):
+def _run_chunk(blocks, rowg_blocks, act_blocks, cfg: TVL1Config,
+               iters: int, h_true: int, band: int, halo: int):
     """One pallas_call over all (batch × band) blocks: 10 state/const
-    planes + row-index plane in, 6 state planes + per-block err out."""
+    planes + row-index plane + per-block active flag in, 6 state planes
+    + per-block err out."""
     G, N, W = blocks[0].shape
     state_shape = jax.ShapeDtypeStruct((G, N, W), jnp.float32)
     blk = lambda: pl.BlockSpec((None, N, W), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM)
+    scalar_blk = lambda: pl.BlockSpec((None, 1, 128), lambda g: (g, 0, 0),
+                                      memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_chunk_kernel, cfg=cfg, iters=iters,
                           h_true=h_true, band=band, halo=halo),
         grid=(G,),
-        in_specs=[blk() for _ in range(11)],
-        out_specs=[blk() for _ in range(6)] + [
-            pl.BlockSpec((None, 1, 128), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM)],
+        in_specs=[blk() for _ in range(11)] + [scalar_blk()],
+        out_specs=[blk() for _ in range(6)] + [scalar_blk()],
         out_shape=[state_shape] * 6 + [
             jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_BANDED_SCOPED_BYTES),
         interpret=pallas_interpret(),
-    )(*blocks, rowg_blocks)
+    )(*blocks, rowg_blocks, act_blocks)
     return outs[:6], outs[6][:, 0, 0]
 
 
@@ -396,18 +417,31 @@ def banded_params(h: int, w: int,
     return best[1], best[2]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "band", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "band", "chunk", "adaptive"))
 def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
                            grad: jax.Array, rho_c: jax.Array,
                            u: jax.Array, v: jax.Array,
-                           cfg: TVL1Config, band: int,
-                           chunk: int) -> Tuple[jax.Array, jax.Array]:
+                           cfg: TVL1Config, band: int, chunk: int,
+                           adaptive: bool = True
+                           ) -> Tuple[jax.Array, jax.Array]:
     """All outer rounds of one TV-L1 warp for planes too large for the
     whole-plane kernel, via row bands with `chunk`-iteration halos.
 
-    Bit-exact to `tvl1_solve_warp` up to the convergence test's
-    reduction order (per-band partial sums vs one whole-plane sum).
-    """
+    adaptive=False: bit-exact to `tvl1_solve_warp` up to the
+    convergence test's reduction order (per-band partial sums vs one
+    whole-plane sum).
+
+    adaptive=True (VERDICT r2 next #5, convergence-adaptive banding):
+    each band applies cv2's ε convergence criterion to ITSELF — a band
+    whose mean-squared update fell under ε² stops iterating (its kernel
+    blocks pass state through for ~free) unless a NEIGHBOUR band is
+    still active, in which case it keeps running so boundary updates
+    propagate exactly.  The skipped updates are by definition below the
+    same ε threshold cv2 uses to stop the whole image, so the deviation
+    from the non-adaptive result is of the order the algorithm already
+    declares converged (gated in tests/test_tvl1.py vs the monolithic
+    kernel)."""
     B, H, W = u.shape
     K = cfg.inner_iterations
     eps2 = cfg.epsilon * cfg.epsilon
@@ -436,16 +470,42 @@ def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
     rowg = jnp.broadcast_to(rowg[None, :, None], (1, Hp + 2 * halo, W))
     rowg_blocks = jnp.tile(windows(rowg), (B, 1, 1))
 
+    import numpy as np
+    # True pixels per band (the last band may be ragged).
+    band_px = jnp.asarray(
+        np.minimum(band, H - band * np.arange(NB)).astype(np.float32)
+        * W)
+
     # Chunk sizes exactly partitioning the K inner iterations of a round.
     chunk_sizes = [min(chunk, K - c0) for c0 in range(0, K, chunk)]
 
+    def global_err(err_band):        # (B, NB) band SUMS → (B,) mean
+        return err_band.sum(axis=1) / n_px
+
     def run_round(state):
-        u, v, p11, p12, p21, p22, err = state
-        conv = (err < eps2)[:, None, None]
+        u, v, p11, p12, p21, p22, err_band = state
+        gerr = global_err(err_band)
+        conv = (gerr < eps2)[:, None, None]
         if cfg.median_filtering > 1:
             from video_analytics_tpu.ops.median import median_filter2d
             u = jnp.where(conv, u, median_filter2d(u, cfg.median_filtering))
             v = jnp.where(conv, v, median_filter2d(v, cfg.median_filtering))
+        if adaptive:
+            # Run a band iff it (or a neighbour, whose boundary updates
+            # could reach it) has not met the per-band ε criterion
+            # (band mean-squared update >= ε², i.e. sum >= ε²·band_px).
+            active = err_band >= eps2 * band_px
+            run_flags = active
+            run_flags = run_flags.at[:, :-1].set(
+                run_flags[:, :-1] | active[:, 1:])
+            run_flags = run_flags.at[:, 1:].set(
+                run_flags[:, 1:] | active[:, :-1])
+            run_flags = run_flags & ~conv[:, :, 0]
+        else:
+            run_flags = jnp.broadcast_to(~conv[:, :, 0], (B, NB))
+        act_blocks = jnp.broadcast_to(
+            run_flags.astype(jnp.float32).reshape(B * NB, 1, 1),
+            (B * NB, 1, 128))
         cu, cv, cp11, cp12, cp21, cp22 = u, v, p11, p12, p21, p22
         err_blocks = None
         for iters in chunk_sizes:
@@ -453,21 +513,22 @@ def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
                 windows(pad_rows(x))
                 for x in (cu, cv, cp11, cp12, cp21, cp22)]
             (ub, vb, p11b, p12b, p21b, p22b), err_blocks = _run_chunk(
-                blocks, rowg_blocks, cfg, iters, H, band, halo)
+                blocks, rowg_blocks, act_blocks, cfg, iters, H, band,
+                halo)
             cu, cv = assemble(ub), assemble(vb)
             cp11, cp12 = assemble(p11b), assemble(p12b)
             cp21, cp22 = assemble(p21b), assemble(p22b)
-        err_new = err_blocks.reshape(B, NB).sum(axis=1) / n_px
+        err_new = err_blocks.reshape(B, NB)
+        err_band = jnp.where(run_flags, err_new, err_band)
         sel = lambda old, new: jnp.where(conv, old, new)
         return (sel(u, cu), sel(v, cv), sel(p11, cp11), sel(p12, cp12),
-                sel(p21, cp21), sel(p22, cp22),
-                jnp.where(conv[:, 0, 0], err, err_new))
+                sel(p21, cp21), sel(p22, cp22), err_band)
 
     zeros = jnp.zeros((B, H, W), jnp.float32)
     state = (u.astype(jnp.float32), v.astype(jnp.float32),
              zeros, zeros, zeros, zeros,
-             jnp.full((B,), jnp.inf, jnp.float32))
+             jnp.full((B, NB), jnp.inf, jnp.float32))
     for _ in range(cfg.outer_iterations):
-        state = jax.lax.cond(jnp.all(state[-1] < eps2),
+        state = jax.lax.cond(jnp.all(global_err(state[-1]) < eps2),
                              lambda s: s, run_round, state)
     return state[0], state[1]
