@@ -1,4 +1,7 @@
-"""Fused Pallas TV-L1 solver vs the XLA reference solver (interpret
+"""Fused Pallas TV-L1 solver vs the XLA reference solver, with the
+warp held to the exact XLA gather on both sides (exact_warp=True) so
+the comparison isolates the solver — the separable Pallas warp's own
+approximation bounds are gated in tests/test_pallas_warp.py (interpret
 mode on CPU; compiled path exercised by the TPU bench)."""
 
 import numpy as np
@@ -19,7 +22,7 @@ def test_full_pipeline_pallas_equals_xla(rng):
     a = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
                         SMALL, use_pallas=False))
     b = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
-                        SMALL, use_pallas=True))
+                        SMALL, use_pallas=True, exact_warp=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
@@ -30,7 +33,7 @@ def test_pallas_no_median_matches(rng):
     a = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
                         cfg, use_pallas=False))
     b = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
-                        cfg, use_pallas=True))
+                        cfg, use_pallas=True, exact_warp=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
@@ -41,7 +44,7 @@ def test_median3_config(rng):
     a = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
                         cfg, use_pallas=False))
     b = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
-                        cfg, use_pallas=True))
+                        cfg, use_pallas=True, exact_warp=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 

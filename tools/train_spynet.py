@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--hw-mix", default=None,
+                    help="comma list of extra square sizes to round-robin"
+                         " (e.g. 128,224) — resolution-robust training; "
+                         "batch is scaled down to hold pixels/step "
+                         "roughly constant")
     ap.add_argument("--local-blobs", type=int, default=2,
                     help="moving-object translations per synthetic pair")
     ap.add_argument("--mix-affine", type=float, default=0.5,
@@ -75,15 +80,23 @@ def main():
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
     hw = (args.hw, args.hw)
-    step_blobs = make_spynet_train_step(model, tx, batch=args.batch,
-                                        hw=hw,
-                                        local_blobs=args.local_blobs)
-    step_affine = make_spynet_train_step(model, tx, batch=args.batch,
-                                         hw=hw, local_blobs=0)
+    sizes = [args.hw] + ([int(s) for s in args.hw_mix.split(",")]
+                         if args.hw_mix else [])
+    steps_by_size = {}
+    for s in sizes:
+        # Hold pixels/step ~constant across sizes so large sizes don't
+        # dominate wall time (min batch 2).
+        b = max(2, int(round(args.batch * (args.hw / s) ** 2)))
+        steps_by_size[s] = (
+            make_spynet_train_step(model, tx, batch=b, hw=(s, s),
+                                   local_blobs=args.local_blobs),
+            make_spynet_train_step(model, tx, batch=b, hw=(s, s),
+                                   local_blobs=0))
 
     t0 = time.time()
     for i in range(args.steps):
         key, sub = jax.random.split(key)
+        step_blobs, step_affine = steps_by_size[sizes[i % len(sizes)]]
         step = step_affine if (i % 100) < args.mix_affine * 100 \
             else step_blobs
         params, opt_state, loss, epe = step(params, opt_state, sub)
@@ -94,10 +107,18 @@ def main():
                   flush=True)
 
     vkey = jax.random.PRNGKey(args.seed + 1234)
-    affine = val_epe(model, params, vkey, hw=hw, local_blobs=0)
-    blobs = val_epe(model, params, vkey, hw=hw,
-                    local_blobs=max(1, args.local_blobs))
-    print(f"val EPE: affine {affine:.4f}  blobs {blobs:.4f}")
+
+    def report(tag, p):
+        for s in sizes:
+            vb = max(2, int(round(8 * (64 / s) ** 2)))
+            aff = val_epe(model, p, vkey, hw=(s, s), batch=vb,
+                          local_blobs=0)
+            blb = val_epe(model, p, vkey, hw=(s, s), batch=vb,
+                          local_blobs=max(1, args.local_blobs))
+            print(f"{tag} EPE @{s}: affine {aff:.4f}  blobs {blb:.4f}",
+                  flush=True)
+
+    report("val", params)
     save_variables(args.out, {"params": params})
     print(f"saved {args.out}")
 
@@ -109,12 +130,7 @@ def main():
                              {"params": init_spynet(
                                  SpyNet(levels=args.levels),
                                  jax.random.PRNGKey(0))["params"]})
-        inc_affine = val_epe(model, inc["params"], vkey, hw=hw,
-                             local_blobs=0)
-        inc_blobs = val_epe(model, inc["params"], vkey, hw=hw,
-                            local_blobs=max(1, args.local_blobs))
-        print(f"incumbent EPE: affine {inc_affine:.4f}  "
-              f"blobs {inc_blobs:.4f}")
+        report("incumbent", inc["params"])
     except FileNotFoundError:
         print("no incumbent checkpoint to compare")
 

@@ -173,13 +173,19 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
 def tvl1(prev: jax.Array, nxt: jax.Array,
          cfg: TVL1Config = TVL1Config(),
          initial_flow: Optional[jax.Array] = None,
-         use_pallas: Optional[bool] = None) -> jax.Array:
+         use_pallas: Optional[bool] = None,
+         exact_warp: bool = False) -> jax.Array:
     """Dense TV-L1 flow for a batch of gray frame pairs.
 
     Args:
       prev, nxt: (B, H, W) float32 in [0, 255] (or uint8).
       cfg: TVL1Config (static under jit).
       initial_flow: optional (B, H, W, 2) seed.
+      use_pallas: None → auto (Pallas on TPU); True/False forces both
+        the warp and solver paths.
+      exact_warp: force the exact XLA gather warp while leaving the
+        solver path governed by `use_pallas` (isolates the bit-exact
+        Pallas solvers from the separable-warp approximation).
 
     Returns:
       (B, H, W, 2) float32 flow (dx, dy): prev(p) ≈ next(p + flow(p)).
@@ -233,8 +239,9 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         band = _level_band(cfg.scale_step ** s)
         for _ in range(cfg.warps):
             u0, v0 = u, v
-            I1w, I1wx, I1wy = _warp_step(I1, I1x, I1y, u0, v0, band=band,
-                                         use_pallas=use_pallas)
+            I1w, I1wx, I1wy = _warp_step(
+                I1, I1x, I1y, u0, v0, band=band,
+                use_pallas=False if exact_warp else use_pallas)
             if fused or banded:
                 grad = I1wx * I1wx + I1wy * I1wy
                 rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
