@@ -10,7 +10,10 @@ across slices — there is no hand-written transport layer, by design:
 on TPU the runtime is the backend and our job is layout.
 
 Multi-host launch: call ``jax.distributed.initialize()`` before
-``make_mesh()`` (no-op single-host).
+``make_mesh()`` (no-op single-host).  This path is exercised for real
+by tests/test_parallel.py::test_multiprocess_distributed — two OS
+processes × 4 virtual devices joined into one global mesh, with data-
+and model-axis collectives crossing the process boundary over gloo.
 """
 
 from __future__ import annotations
