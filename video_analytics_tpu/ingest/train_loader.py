@@ -97,10 +97,13 @@ class TrainWindowSampler:
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)
             cp = self._cache_path(rec)
-            # np.save appends ".npy" unless the name already ends with
-            # it — keep the suffix so the replace target exists.
-            tmp = cp[:-len(".npy")] + f".tmp{threading.get_ident()}.npy"
-            np.save(tmp, frames)
+            # Write through a file handle so the temp name need not end
+            # in ".npy" (np.save would append it) — a temp abandoned by
+            # an interrupted worker then can't be mistaken for a cache
+            # entry by *.npy consumers.
+            tmp = cp + f".tmp{threading.get_ident()}"
+            with open(tmp, "wb") as f:
+                np.save(f, frames)
             os.replace(tmp, cp)       # atomic vs concurrent writers
         return frames
 
@@ -175,7 +178,16 @@ class TrainWindowSampler:
         return self._q.qsize()
 
     def stop(self) -> None:
+        """Signal workers and wait for them to drain.
+
+        Joining matters for the window cache: without it a worker can
+        still be mid cache-write after ``with`` exits, leaving a .tmp
+        file visible to whoever scans the cache dir next.  Workers
+        re-check the stop flag every 0.2s while blocked on the queue,
+        so the join bound is one in-flight decode+save."""
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=30.0)
 
     def __enter__(self):
         return self
