@@ -130,6 +130,11 @@ def test_banded_solver_bitexact_vs_monolithic(rng):
             # median + convergence gate engaged mid-run
             (TVL1Config(inner_iterations=5, outer_iterations=4,
                         epsilon=0.05, median_filtering=5), 24, 2),
+            # chunk == K: the whole round (median + all inner
+            # iterations) in ONE kernel dispatch — the config
+            # banded_params picks at 1080p
+            (TVL1Config(inner_iterations=6, outer_iterations=2,
+                        epsilon=1e-6, median_filtering=5), 24, 6),
     ]:
         u1, v1 = tvl1_solve_warp(I1wx, I1wy, grad, rho, u, v, cfg)
         u2, v2 = tvl1_solve_warp_banded(I1wx, I1wy, grad, rho, u, v,

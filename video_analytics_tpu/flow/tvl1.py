@@ -98,6 +98,11 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
     l_t = cfg.lambda_ * cfg.theta
     taut = cfg.tau / cfg.theta
     grad = I1wx * I1wx + I1wy * I1wy
+    # Loop-invariant hoists (shared with the Pallas kernels): the
+    # threshold plane and the reciprocal of the gradient magnitude —
+    # one divide per warp instead of one per iteration.
+    th = l_t * grad
+    inv_grad = 1.0 / jnp.maximum(grad, _GRAD_EPS)
     rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
     n_px = u.shape[1] * u.shape[2]
     eps2 = cfg.epsilon * cfg.epsilon
@@ -122,10 +127,9 @@ def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
 
         # v-step: soft threshold of the linearised residual.
         rho = rho_c + I1wx * u + I1wy * v
-        th = l_t * grad
         d = jnp.where(
             rho < -th, l_t,
-            jnp.where(rho > th, -l_t, -rho / jnp.maximum(grad, _GRAD_EPS)))
+            jnp.where(rho > th, -l_t, -rho * inv_grad))
         v1 = u + d * I1wx
         v2 = v + d * I1wy
 

@@ -103,6 +103,9 @@ def _solver_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
     I1wy = I1wy_ref[:]
     grad = grad_ref[:]
     rho_c = rho_c_ref[:]
+    # Loop-invariant hoists: one divide per warp, not per iteration.
+    th = l_t * grad
+    inv_grad = 1.0 / jnp.maximum(grad, 1e-10)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -129,10 +132,9 @@ def _solver_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         # divides per field pair).
         u, v, p11, p12, p21, p22, err = state
         rho = rho_c + I1wx * u + I1wy * v
-        th = l_t * grad
         d = jnp.where(
             rho < -th, l_t,
-            jnp.where(rho > th, -l_t, -rho / jnp.maximum(grad, 1e-10)))
+            jnp.where(rho > th, -l_t, -rho * inv_grad))
         v1 = u + d * I1wx
         v2 = v + d * I1wy
         un = v1 + cfg.theta * div(p11, p12)
@@ -223,71 +225,132 @@ def solver_fits_vmem(h: int, w: int, median: int) -> bool:
     planes = (median * median + 2) * h * w if median > 1 else 0
     return (state + planes) * 4 < 13 * 1024 * 1024
 
-
 # ---------------------------------------------------------------------------
 # Row-banded solver for shapes beyond the whole-plane kernel's VMEM
 # (VERDICT r1 #2; BASELINE config #5 — native-resolution 1080p TV-L1).
 #
-# Scheme: the image is split into row bands; each band is processed
-# with a halo of `chunk` rows on each side, wide enough that `chunk`
-# primal-dual iterations (dependency radius 1 row/iteration) leave the
-# band interior BIT-EXACT vs the global iteration.  State (u, v, p)
-# round-trips HBM once per chunk instead of once per iteration — a
-# ~chunk× HBM-traffic cut, which is what the solver is bound by.  The
-# outer-round structure (median filter, ε convergence gate) runs at the
-# XLA level between chunks, exactly mirroring the monolithic kernel's
-# outer_step; windows are gathered/scattered by XLA (overlapping
-# BlockSpecs aren't expressible), so there is ONE Mosaic kernel for all
-# bands, rounds and levels of a given block shape — true-boundary
-# behaviour comes in as a global-row-index data plane, not as static
-# masks that would respecialise per band.
+# Scheme (r3, DMA-windowed): the image is split into row bands; each
+# band block carries a halo wide enough that `chunk` primal-dual
+# iterations (dependency radius 1 row/iteration) plus the round-opening
+# median (radius 2) leave the band interior BIT-EXACT vs the global
+# iteration.  State (u, v, p) lives in a PERSISTENT PADDED (B, Hpad, W)
+# layout in HBM; every kernel instance DMAs its overlapping window
+# straight out of those planes (8-aligned dynamic sublane starts) and
+# DMAs its interior band back — there is no XLA-level window
+# gather/scatter, no pad, no reassembly, and since the 5x5 median runs
+# INSIDE the first chunk of each round (with image-global replicate
+# borders via clamped shifts), a whole outer round costs exactly
+# ceil(K/chunk) kernel dispatches and a tiny flag computation.  The
+# convergence structure mirrors the monolithic kernel's outer_step:
+# per-image ε gate, plus (adaptive=True) per-band gating where
+# converged bands and their neighbours-of-converged pass through for
+# ~free.  True-boundary behaviour comes from the block's global row
+# offset (program_id-derived), so ONE Mosaic kernel serves all bands,
+# rounds and levels of a given block shape.
 # ---------------------------------------------------------------------------
 
 
-def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
-                  uin_ref, vin_ref,
-                  p11i_ref, p12i_ref, p21i_ref, p22i_ref, rowg_ref,
-                  act_ref,
-                  uout_ref, vout_ref,
-                  p11o_ref, p12o_ref, p21o_ref, p22o_ref, err_ref,
-                  *, cfg: TVL1Config, iters: int, h_true: int,
-                  band: int, halo: int):
-    """`iters` primal-dual iterations on one (band + 2·halo, W) block.
+def _clamped_shift_planes(x, rowg, h_true: int, r: int):
+    """2r+1 vertically shifted copies of the (N, W) block `x` with
+    replicate border at the IMAGE edges (rowg==0 / rowg==h_true-1),
+    independent of where the block sits: iterated clamped shifts
+    compose to x[clip(rowg+d, 0, h-1)] for every in-image row."""
+    up = [x]
+    down = [x]
+    for _ in range(r):
+        p = up[-1]
+        up.append(jnp.where(rowg <= 0, p, _roll(p, 1, 0)))
+        p = down[-1]
+        down.append(jnp.where(rowg >= h_true - 1, p, _roll(p, -1, 0)))
+    return up[::-1][:-1] + [x] + down[1:]
 
-    Semantics identical to `_solver_kernel`'s inner_step, with the
-    row-boundary masks driven by the global row index plane (rowg) so
-    image edges behave exactly like the whole-plane kernel no matter
-    which band they fall in; `err` is the final iteration's squared
-    update summed over the band's interior TRUE rows only.
 
-    `act` (per-block scalar plane) is the convergence-adaptive gate:
-    inactive blocks skip ALL iteration compute and pass their state
-    through unchanged (the VPU work is what the banded 1080p solver is
-    bound by, so converged bands become ~free).
-    """
-    N, W = uin_ref.shape
+def _median2d_global(x, rowg, h_true: int, k: int, w_true: int):
+    """k×k median of a band block with image-global replicate border
+    (exact match of ops.median.median_filter2d on all in-image rows;
+    `w_true` is the image width — the block's lane dim may be padded
+    to the 128 tile)."""
+    N, W = x.shape
+    r = k // 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    planes = []
+    for sy in _clamped_shift_planes(x, rowg, h_true, r):
+        row = [sy]
+        left = [sy]
+        for _ in range(r):
+            p = row[-1]
+            row.append(jnp.where(cols <= 0, p, _roll(p, 1, 1)))
+            p = left[-1]
+            left.append(jnp.where(cols >= w_true - 1, p, _roll(p, -1, 1)))
+        planes.extend(row[::-1][:-1] + [sy] + left[1:])
+    return _median_network(planes)
+
+
+def _dma_chunk_kernel(uin, vin, p11i, p12i, p21i, p22i,
+                      I1wx_h, I1wy_h, grad_h, rho_h,
+                      act_ref,
+                      uout, vout, p11o, p12o, p21o, p22o, err_ref,
+                      sin, sout, in_sems, out_sems,
+                      *, cfg: TVL1Config, iters: int, h_true: int,
+                      w_true: int, band: int, halo: int, NB: int,
+                      do_median: bool):
+    """`iters` primal-dual iterations (preceded, when do_median, by the
+    round-opening median) on one (band + 2·halo, W) block, windowed by
+    manual DMA from the persistent padded state planes.
+
+    Inactive blocks (act==0: their image converged, or — adaptive mode
+    — the band and its neighbours individually met the ε criterion)
+    copy their interior through unchanged; the first/last band of each
+    image also re-writes the constant zero pad rows so the padded
+    layout stays closed under chunk application."""
+    g = pl.program_id(0)
+    b = g // NB
+    i = g % NB
+    n_blk = band + 2 * halo
+    row0 = i * band                       # window start in padded rows
+    W = sin.shape[2]
     f32 = jnp.float32
     l_t = cfg.lambda_ * cfg.theta
     taut = cfg.tau / cfg.theta
 
-    I1wx = I1wx_ref[:]
-    I1wy = I1wy_ref[:]
-    grad = grad_ref[:]
-    rho_c = rho_c_ref[:]
-    rowg = rowg_ref[:]
+    in_refs = (uin, vin, p11i, p12i, p21i, p22i,
+               I1wx_h, I1wy_h, grad_h, rho_h)
+    dmas = [pltpu.make_async_copy(ref.at[b, pl.ds(row0, n_blk), :],
+                                  sin.at[k], in_sems.at[k])
+            for k, ref in enumerate(in_refs)]
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
 
-    rows_blk = jax.lax.broadcasted_iota(jnp.int32, (N, W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
-    not_last_row = (rowg < h_true - 1).astype(f32)
-    not_last_col = (cols < W - 1).astype(f32)
+    rowg = (jax.lax.broadcasted_iota(jnp.int32, (n_blk, W), 0)
+            + (row0 - halo))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_blk, W), 1)
+    last_row = rowg >= h_true - 1
+    # The lane dim may be padded to the 128 tile: the image's column
+    # boundary (w_true-1) is where the forward difference must vanish,
+    # and the pad columns are excluded from the convergence error.
+    last_col = cols >= w_true - 1
     first_row = rowg == 0
     first_col = cols == 0
+    rows_blk = jax.lax.broadcasted_iota(jnp.int32, (n_blk, W), 0)
     interior = ((rows_blk >= halo) & (rows_blk < halo + band)
-                & (rowg < h_true)).astype(f32)
+                & (rowg < h_true) & (cols < w_true))
+
+    I1wx = sin[6]
+    I1wy = sin[7]
+    grad = sin[8]
+    rho_c = sin[9]
+    # Loop-invariant hoists: one divide per chunk, not per iteration
+    # (grad's pad cols/rows are zero, so both planes stay finite).
+    th = l_t * grad
+    inv_grad = 1.0 / jnp.maximum(grad, 1e-10)
 
     def fwd_grad(x):
-        gx = (_roll(x, -1, 1) - x) * not_last_col
-        gy = (_roll(x, -1, 0) - x) * not_last_row
+        # where-selects, not multiplicative masks: the pad rows hold
+        # finite values by construction, and selects keep it that way.
+        gx = jnp.where(last_col, 0.0, _roll(x, -1, 1) - x)
+        gy = jnp.where(last_row, 0.0, _roll(x, -1, 0) - x)
         return gx, gy
 
     def div(p1, p2):
@@ -297,20 +360,19 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
 
     def step_core(state, with_err: bool):
         # Same err-on-last-step-only + divide-once structure as the
-        # whole-plane kernel (see _solver_kernel.step_core); the err is
-        # only consumed after the round's final chunk.
+        # whole-plane kernel (_solver_kernel.step_core).
         u, v, p11, p12, p21, p22, err = state
         rho = rho_c + I1wx * u + I1wy * v
-        th = l_t * grad
         d = jnp.where(
             rho < -th, l_t,
-            jnp.where(rho > th, -l_t, -rho / jnp.maximum(grad, 1e-10)))
+            jnp.where(rho > th, -l_t, -rho * inv_grad))
         v1 = u + d * I1wx
         v2 = v + d * I1wy
         un = v1 + cfg.theta * div(p11, p12)
         vn = v2 + cfg.theta * div(p21, p22)
         if with_err:
-            err = jnp.sum(((un - u) ** 2 + (vn - v) ** 2) * interior)
+            err = jnp.sum(jnp.where(interior,
+                                    (un - u) ** 2 + (vn - v) ** 2, 0.0))
         ux, uy = fwd_grad(un)
         vx, vy = fwd_grad(vn)
         inv1 = 1.0 / (1.0 + taut * jnp.sqrt(ux * ux + uy * uy))
@@ -324,68 +386,120 @@ def _chunk_kernel(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
     def inner_step(_, state):
         return step_core(state, with_err=False)
 
-    active = act_ref[0, 0] > 0.5
+    active = act_ref[g] > 0
 
     @pl.when(active)
     def _run():
-        init = (uin_ref[:], vin_ref[:], p11i_ref[:], p12i_ref[:],
-                p21i_ref[:], p22i_ref[:], jnp.asarray(0.0, f32))
+        u0 = sin[0]
+        v0 = sin[1]
+        if do_median and cfg.median_filtering > 1:
+            u0 = _median2d_global(u0, rowg, h_true,
+                                  cfg.median_filtering, w_true)
+            v0 = _median2d_global(v0, rowg, h_true,
+                                  cfg.median_filtering, w_true)
+        init = (u0, v0, sin[2], sin[3], sin[4], sin[5],
+                jnp.asarray(0.0, f32))
         state = jax.lax.fori_loop(0, iters - 1, inner_step, init)
         u, v, p11, p12, p21, p22, err = step_core(state, with_err=True)
-        uout_ref[:] = u
-        vout_ref[:] = v
-        p11o_ref[:] = p11
-        p12o_ref[:] = p12
-        p21o_ref[:] = p21
-        p22o_ref[:] = p22
+        sl = slice(halo, halo + band)
+        sout[0] = u[sl]
+        sout[1] = v[sl]
+        sout[2] = p11[sl]
+        sout[3] = p12[sl]
+        sout[4] = p21[sl]
+        sout[5] = p22[sl]
         err_ref[:] = jnp.full(err_ref.shape, err, f32)
 
     @pl.when(jnp.logical_not(active))
     def _passthrough():
-        uout_ref[:] = uin_ref[:]
-        vout_ref[:] = vin_ref[:]
-        p11o_ref[:] = p11i_ref[:]
-        p12o_ref[:] = p12i_ref[:]
-        p21o_ref[:] = p21i_ref[:]
-        p22o_ref[:] = p22i_ref[:]
+        for k in range(6):
+            sout[k] = sin[k, halo:halo + band]
         err_ref[:] = jnp.zeros(err_ref.shape, f32)
 
+    out_refs = (uout, vout, p11o, p12o, p21o, p22o)
+    odmas = [pltpu.make_async_copy(sout.at[k],
+                                   ref.at[b, pl.ds(halo + row0, band), :],
+                                   out_sems.at[k])
+             for k, ref in enumerate(out_refs)]
+    for d in odmas:
+        d.start()
+    for d in odmas:
+        d.wait()
 
-def _run_chunk(blocks, rowg_blocks, act_blocks, cfg: TVL1Config,
-               iters: int, h_true: int, band: int, halo: int):
-    """One pallas_call over all (batch × band) blocks: 10 state/const
-    planes + row-index plane + per-block active flag in, 6 state planes
-    + per-block err out."""
-    G, N, W = blocks[0].shape
-    state_shape = jax.ShapeDtypeStruct((G, N, W), jnp.float32)
-    blk = lambda: pl.BlockSpec((None, N, W), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM)
-    scalar_blk = lambda: pl.BlockSpec((None, 1, 128), lambda g: (g, 0, 0),
-                                      memory_space=pltpu.VMEM)
+    Hp = NB * band
+
+    @pl.when(i == 0)
+    def _top_pad():
+        pdmas = []
+        for k in range(6):
+            sout[k, :halo] = sin[k, :halo]
+            d = pltpu.make_async_copy(
+                sout.at[k, pl.ds(0, halo)],
+                out_refs[k].at[b, pl.ds(0, halo), :], out_sems.at[k])
+            d.start()
+            pdmas.append(d)
+        for d in pdmas:
+            d.wait()
+
+    @pl.when(i == NB - 1)
+    def _bottom_pad():
+        pdmas = []
+        for k in range(6):
+            sout[k, :halo] = sin[k, n_blk - halo:]
+            d = pltpu.make_async_copy(
+                sout.at[k, pl.ds(0, halo)],
+                out_refs[k].at[b, pl.ds(halo + Hp, halo), :],
+                out_sems.at[k])
+            d.start()
+            pdmas.append(d)
+        for d in pdmas:
+            d.wait()
+
+
+def _run_chunk(state6, consts4, act, cfg: TVL1Config, iters: int,
+               h_true: int, w_true: int, band: int, halo: int, NB: int,
+               do_median: bool):
+    """One pallas_call over all (batch × band) blocks; operands are the
+    persistent padded (B, Hpad, Wp) planes, windowed in-kernel by DMA
+    (Wp = w_true rounded up to the 128 lane tile)."""
+    B, Hpad, W = state6[0].shape
+    G = B * NB
+    n_blk = band + 2 * halo
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
-        functools.partial(_chunk_kernel, cfg=cfg, iters=iters,
-                          h_true=h_true, band=band, halo=halo),
+        functools.partial(_dma_chunk_kernel, cfg=cfg, iters=iters,
+                          h_true=h_true, w_true=w_true, band=band,
+                          halo=halo, NB=NB, do_median=do_median),
         grid=(G,),
-        in_specs=[blk() for _ in range(11)] + [scalar_blk()],
-        out_specs=[blk() for _ in range(6)] + [scalar_blk()],
-        out_shape=[state_shape] * 6 + [
-            jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
+        in_specs=[anyspec] * 10 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[anyspec] * 6 + [
+            pl.BlockSpec((None, 1, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, Hpad, W), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((10, n_blk, W), jnp.float32),
+            pltpu.VMEM((6, band, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_BANDED_SCOPED_BYTES),
         interpret=pallas_interpret(),
-    )(*blocks, rowg_blocks, act_blocks)
-    return outs[:6], outs[6][:, 0, 0]
+    )(*state6, *consts4, act)
+    return list(outs[:6]), outs[6][:, 0, 0]
 
 
-# VMEM model, measured on the v5e: the kernel's scoped (stack) working
-# set is ~28 (n_blk, lane-padded W) f32 planes (operand copies + fori
-# carry + dual-step temps; Mosaic reported 27.9MB at n_blk=132, W=1920)
-# and the pipelined operands add 17 × 2 double-buffered blocks.  The
-# scoped limit is raised via CompilerParams (default 16MB); both pools
-# must fit the v5e's 128MB physical VMEM with margin.
+# VMEM model for the DMA-windowed kernel: explicit scratch is
+# 10 × n_blk (windows) + 6 × band (interior staging) f32 rows; the
+# compiler's scoped temporaries peak during the in-kernel 5x5 median
+# (25 live shift planes + the window scratch) — modelled as 30 × n_blk
+# rows.  Both pools must fit the v5e's 128MB physical VMEM with
+# margin; the scoped limit is raised via CompilerParams.
 _BANDED_SCOPED_BYTES = 100 * 1024 * 1024
-_BANDED_TOTAL_BYTES = 96 * 1024 * 1024
-_BANDED_PLANES = 28 + 2 * 17
+_BANDED_TOTAL_BYTES = 90 * 1024 * 1024
+_BANDED_TEMP_PLANES = 30
 
 
 def banded_params(h: int, w: int,
@@ -393,23 +507,38 @@ def banded_params(h: int, w: int,
     """(band, chunk) for the banded solver, or None when banding can't
     beat the fallback (too few affordable rows).
 
-    Picks the chunk (iterations per HBM round-trip; halo = chunk + 2)
-    minimising HBM traffic ≈ ceil(K/chunk) · n_blk/band given the VMEM
-    row budget.
+    Chunk = iterations per kernel dispatch; halo = chunk + 4 rounded up
+    to 8 (iteration dependency radius + median radius + DMA sublane
+    alignment).  Cost model per outer round: redundant halo compute
+    (the halo rows iterate too) + HBM window traffic at ~half the cost
+    of a compute row-iteration; larger chunks amortise dispatches and
+    traffic against more halo compute — at 1080p the optimum is the
+    whole round in ONE dispatch (chunk = inner_iterations).
     """
     wp = -(-w // 128) * 128
-    budget_rows = int(_BANDED_TOTAL_BYTES // (_BANDED_PLANES * 4 * wp))
-    if budget_rows < 32:
-        return None
-    best = None
+    row_bytes = 4 * wp
+    budget_rows = _BANDED_TOTAL_BYTES // row_bytes
     K = cfg.inner_iterations
+    best = None
     for chunk in range(4, K + 1):
-        band = (budget_rows - 2 * (chunk + 2)) // 8 * 8
-        if band < 8:
+        halo = -(-(chunk + 4) // 8) * 8
+        # (10 + TEMP) × n_blk + 6 × band <= budget_rows
+        denom = 10 + _BANDED_TEMP_PLANES + 6
+        band = (budget_rows - (10 + _BANDED_TEMP_PLANES) * 2 * halo) \
+            // denom // 8 * 8
+        if band < halo or band < 8:
             continue
         band = min(band, max(8, -(-h // 8) * 8))
+        # Balance bands: shrink band to the smallest multiple of 8
+        # giving the same band count (less halo-redundant compute).
         n_bands = -(-h // band)
-        cost = (-(-K // chunk)) * n_bands * (band + 2 * (chunk + 2))
+        band = max(halo, -(-(-(-h // n_bands)) // 8) * 8)
+        n_chunks = -(-K // chunk)
+        n_blk = band + 2 * halo
+        compute = sum(n_blk * min(chunk, K - c0)
+                      for c0 in range(0, K, chunk))
+        traffic = n_chunks * (10 * n_blk + 6 * band) * 0.5
+        cost = n_bands * (compute + traffic)
         if best is None or cost < best[0]:
             best = (cost, band, chunk)
     if best is None:
@@ -426,11 +555,11 @@ def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
                            adaptive: bool = True
                            ) -> Tuple[jax.Array, jax.Array]:
     """All outer rounds of one TV-L1 warp for planes too large for the
-    whole-plane kernel, via row bands with `chunk`-iteration halos.
+    whole-plane kernel, via DMA-windowed row bands.
 
     adaptive=False: bit-exact to `tvl1_solve_warp` up to the
     convergence test's reduction order (per-band partial sums vs one
-    whole-plane sum).
+    whole-plane sum) — gated in tests/test_tvl1.py.
 
     adaptive=True (VERDICT r2 next #5, convergence-adaptive banding):
     each band applies cv2's ε convergence criterion to ITSELF — a band
@@ -442,54 +571,40 @@ def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
     from the non-adaptive result is of the order the algorithm already
     declares converged (gated in tests/test_tvl1.py vs the monolithic
     kernel)."""
+    import numpy as np
+
     B, H, W = u.shape
     K = cfg.inner_iterations
     eps2 = cfg.epsilon * cfg.epsilon
     n_px = H * W
-    halo = chunk + 2
+    halo = -(-(chunk + 4) // 8) * 8
+    if band < halo:
+        raise ValueError(f"band ({band}) must be >= halo ({halo})")
     NB = -(-H // band)
     Hp = NB * band
-    n_blk = band + 2 * halo
+    Hpad = Hp + 2 * halo
+    Wp = -(-W // 128) * 128    # VMEM DMA windows need lane-tile width
 
-    consts = [x.astype(jnp.float32) for x in (I1wx, I1wy, grad, rho_c)]
+    def pad_planes(x):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((0, 0), (halo, Hpad - halo - H), (0, Wp - W)))
 
-    def pad_rows(x):
-        return jnp.pad(x, ((0, 0), (halo, Hp + halo - H), (0, 0)))
+    consts4 = [pad_planes(x) for x in (I1wx, I1wy, grad, rho_c)]
+    zeros = jnp.zeros_like(u)
+    state6 = [pad_planes(x) for x in (u, v, zeros, zeros, zeros, zeros)]
 
-    def windows(x):                       # (b, Hp+2halo, W) → (b·NB, n_blk, W)
-        blks = jnp.stack([x[:, i * band:i * band + n_blk]
-                          for i in range(NB)], axis=1)
-        return blks.reshape(x.shape[0] * NB, n_blk, W)
-
-    def assemble(blk):                    # (B·NB, n_blk, W) → (B, H, W)
-        x = blk.reshape(B, NB, n_blk, W)[:, :, halo:halo + band]
-        return x.reshape(B, Hp, W)[:, :H]
-
-    const_blocks = [windows(pad_rows(x)) for x in consts]
-    rowg = jnp.arange(-halo, Hp + halo, dtype=jnp.int32)
-    rowg = jnp.broadcast_to(rowg[None, :, None], (1, Hp + 2 * halo, W))
-    rowg_blocks = jnp.tile(windows(rowg), (B, 1, 1))
-
-    import numpy as np
-    # True pixels per band (the last band may be ragged).
     band_px = jnp.asarray(
         np.minimum(band, H - band * np.arange(NB)).astype(np.float32)
         * W)
-
-    # Chunk sizes exactly partitioning the K inner iterations of a round.
     chunk_sizes = [min(chunk, K - c0) for c0 in range(0, K, chunk)]
 
     def global_err(err_band):        # (B, NB) band SUMS → (B,) mean
         return err_band.sum(axis=1) / n_px
 
     def run_round(state):
-        u, v, p11, p12, p21, p22, err_band = state
+        *planes, err_band, r = state
         gerr = global_err(err_band)
-        conv = (gerr < eps2)[:, None, None]
-        if cfg.median_filtering > 1:
-            from video_analytics_tpu.ops.median import median_filter2d
-            u = jnp.where(conv, u, median_filter2d(u, cfg.median_filtering))
-            v = jnp.where(conv, v, median_filter2d(v, cfg.median_filtering))
+        conv = gerr < eps2
         if adaptive:
             # Run a band iff it (or a neighbour, whose boundary updates
             # could reach it) has not met the per-band ε criterion
@@ -500,35 +615,33 @@ def tvl1_solve_warp_banded(I1wx: jax.Array, I1wy: jax.Array,
                 run_flags[:, :-1] | active[:, 1:])
             run_flags = run_flags.at[:, 1:].set(
                 run_flags[:, 1:] | active[:, :-1])
-            run_flags = run_flags & ~conv[:, :, 0]
+            run_flags = run_flags & ~conv[:, None]
         else:
-            run_flags = jnp.broadcast_to(~conv[:, :, 0], (B, NB))
-        act_blocks = jnp.broadcast_to(
-            run_flags.astype(jnp.float32).reshape(B * NB, 1, 1),
-            (B * NB, 1, 128))
-        cu, cv, cp11, cp12, cp21, cp22 = u, v, p11, p12, p21, p22
+            run_flags = jnp.broadcast_to(~conv[:, None], (B, NB))
+        act = run_flags.reshape(B * NB).astype(jnp.int32)
+        cur = list(planes)
         err_blocks = None
-        for iters in chunk_sizes:
-            blocks = const_blocks + [
-                windows(pad_rows(x))
-                for x in (cu, cv, cp11, cp12, cp21, cp22)]
-            (ub, vb, p11b, p12b, p21b, p22b), err_blocks = _run_chunk(
-                blocks, rowg_blocks, act_blocks, cfg, iters, H, band,
-                halo)
-            cu, cv = assemble(ub), assemble(vb)
-            cp11, cp12 = assemble(p11b), assemble(p12b)
-            cp21, cp22 = assemble(p21b), assemble(p22b)
+        for ci, iters in enumerate(chunk_sizes):
+            cur, err_blocks = _run_chunk(cur, consts4, act, cfg, iters,
+                                         H, W, band, halo, NB,
+                                         do_median=(ci == 0))
         err_new = err_blocks.reshape(B, NB)
         err_band = jnp.where(run_flags, err_new, err_band)
-        sel = lambda old, new: jnp.where(conv, old, new)
-        return (sel(u, cu), sel(v, cv), sel(p11, cp11), sel(p12, cp12),
-                sel(p21, cp21), sel(p22, cp22), err_band)
+        return tuple(cur) + (err_band, r + 1)
 
-    zeros = jnp.zeros((B, H, W), jnp.float32)
-    state = (u.astype(jnp.float32), v.astype(jnp.float32),
-             zeros, zeros, zeros, zeros,
-             jnp.full((B, NB), jnp.inf, jnp.float32))
-    for _ in range(cfg.outer_iterations):
-        state = jax.lax.cond(jnp.all(global_err(state[-1]) < eps2),
-                             lambda s: s, run_round, state)
-    return state[0], state[1]
+    # One while_loop over outer rounds instead of a chain of
+    # outer_iterations lax.conds: a skipped cond still dispatches and
+    # copies its carried state (measured ~0.18ms × 200 skipped rounds
+    # per 1080p pair — a third of device time), while the loop stops
+    # dead at convergence.
+    def round_cond(state):
+        *_, err_band, r = state
+        return jnp.logical_and(
+            r < cfg.outer_iterations,
+            jnp.logical_not(jnp.all(global_err(err_band) < eps2)))
+
+    state = tuple(state6) + (jnp.full((B, NB), jnp.inf, jnp.float32),
+                             jnp.int32(0))
+    state = jax.lax.while_loop(round_cond, run_round, state)
+    out = lambda x: x[:, halo:halo + H, :W]
+    return out(state[0]), out(state[1])
