@@ -182,6 +182,48 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
     return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
 
 
+def update_matrices_cf(R0: jax.Array, R1: jax.Array,
+                       flow_cf: jax.Array,
+                       band: Optional[int] = None) -> jax.Array:
+    """Channels-first twin of ``update_matrices`` for the fused TPU
+    path: R0/R1 (B, 5, H, W) poly coefficients, flow_cf (B, 2, H, W)
+    → M (B, 5, H, W).  Same math and OOB semantics; the warp consumes
+    and produces channels-first (ops/pallas/warp.pallas_warp_cf), so
+    no NHWC layout round trip enters the iteration chain."""
+    from video_analytics_tpu.ops.pallas.warp import (
+        DEFAULT_BAND, pallas_warp_cf)
+
+    B, _, H, W = R0.shape
+    dx, dy = flow_cf[:, 0], flow_cf[:, 1]
+    R1w = pallas_warp_cf(R1, dx, dy, r=band or DEFAULT_BAND)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    x1 = jnp.floor(xx + dx)
+    y1 = jnp.floor(yy + dy)
+    inb = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
+
+    a11 = jnp.where(inb, (R0[:, 2] + R1w[:, 2]) * 0.5, R0[:, 2])
+    a22 = jnp.where(inb, (R0[:, 3] + R1w[:, 3]) * 0.5, R0[:, 3])
+    a12 = jnp.where(inb, (R0[:, 4] + R1w[:, 4]) * 0.25,
+                    R0[:, 4] * 0.5)
+    b1w = jnp.where(inb, R1w[:, 0], 0.0)
+    b2w = jnp.where(inb, R1w[:, 1], 0.0)
+    dbx = (R0[:, 0] - b1w) * 0.5 + a11 * dx + a12 * dy
+    dby = (R0[:, 1] - b2w) * 0.5 + a12 * dx + a22 * dy
+
+    att = _border_attenuation(H, W)[None]
+    a11, a22, a12 = a11 * att, a22 * att, a12 * att
+    dbx, dby = dbx * att, dby * att
+
+    g11 = a11 * a11 + a12 * a12
+    g12 = (a11 + a22) * a12
+    g22 = a22 * a22 + a12 * a12
+    h1 = a11 * dbx + a12 * dby
+    h2 = a12 * dbx + a22 * dby
+    return jnp.stack([g11, g12, g22, h1, h2], axis=1)
+
+
 def _solve_flow(M: jax.Array) -> jax.Array:
     """2x2 solve with cv2's regularised inverse 1/(det + 1e-3).
 
@@ -290,53 +332,64 @@ def farneback(prev: jax.Array, nxt: jax.Array,
     B, H, W = prev.shape
     sizes = _level_sizes(H, W, cfg)
 
+    # On TPU the three per-level stages run as fused Pallas kernels
+    # (ops/pallas/): single-read poly expansion, banded warp inside
+    # update_matrices, and window-average+solve — decided once for the
+    # whole pyramid so the flow can stay CHANNELS-FIRST across levels
+    # and iterations (no NHWC layout round trips between kernels).
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        farneback_stage_fits_vmem, poly_expansion_pallas,
+        update_flow_pallas)
+    from video_analytics_tpu.utils.platform import on_tpu
+    fused = (use_pallas if use_pallas is not None else on_tpu()) \
+        and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
+
     flow = None
     for li, (lh, lw, scale) in enumerate(sizes):
         I0 = _smooth_and_resize(prev, scale, (lh, lw))
         I1 = _smooth_and_resize(nxt, scale, (lh, lw))
 
+        fshape = (B, 2, lh, lw) if fused else (B, lh, lw, 2)
         if flow is None:
             if cfg.use_initial_flow and initial_flow is not None:
                 f = jax.image.resize(initial_flow.astype(jnp.float32),
                                      (B, lh, lw, 2), method="linear",
-                                     antialias=False)
-                flow = f * scale
+                                     antialias=False) * scale
+                flow = f.transpose(0, 3, 1, 2) if fused else f
             else:
-                flow = jnp.zeros((B, lh, lw, 2), jnp.float32)
+                flow = jnp.zeros(fshape, jnp.float32)
         else:
             # cv2: bilinear-resize the coarser flow and scale values by
             # exactly 1/pyr_scale (not the rounded size ratio).
-            flow = jax.image.resize(flow, (B, lh, lw, 2), method="linear",
+            flow = jax.image.resize(flow, fshape, method="linear",
                                     antialias=False) * (1.0 / cfg.pyr_scale)
 
-        # On TPU the three per-level stages run as fused Pallas
-        # kernels (ops/pallas/): single-read poly expansion, banded
-        # warp inside update_matrices, and window-average+solve.
-        from video_analytics_tpu.ops.pallas.farneback_kernels import (
-            farneback_stage_fits_vmem, poly_expansion_pallas,
-            update_flow_pallas)
-        from video_analytics_tpu.utils.platform import on_tpu
-        fused = (use_pallas if use_pallas is not None else on_tpu()) \
-            and farneback_stage_fits_vmem(lh, lw)
         if fused:
-            R0 = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma)
-            R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma)
+            R0 = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma,
+                                       cf=True)
+            R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma,
+                                       cf=True)
         else:
             R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
             R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
         band = _level_band(scale)
-        M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                            band=band)
+        if fused:
+            M = update_matrices_cf(R0, R1, flow, band=band)
+        else:
+            M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                band=band)
         for it in range(cfg.iterations):
             if fused:
-                flow = update_flow_pallas(M, cfg)
+                flow = update_flow_pallas(M, cfg, cf=True)
             else:
                 flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                                    band=band)
-    return flow
+                M = (update_matrices_cf(R0, R1, flow, band=band)
+                     if fused else
+                     update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                     band=band))
+    return flow.transpose(0, 2, 3, 1) if fused else flow
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -366,34 +419,40 @@ def farneback_sequence(frames: jax.Array,
         farneback_stage_fits_vmem, poly_expansion_pallas,
         update_flow_pallas)
     from video_analytics_tpu.utils.platform import on_tpu
+    fused = (use_pallas if use_pallas is not None else on_tpu()) \
+        and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
 
     flow = None
     for li, (lh, lw, scale) in enumerate(sizes):
         I = _smooth_and_resize(frames, scale, (lh, lw))
+        fshape = (T - 1, 2, lh, lw) if fused else (T - 1, lh, lw, 2)
         if flow is None:
-            flow = jnp.zeros((T - 1, lh, lw, 2), jnp.float32)
+            flow = jnp.zeros(fshape, jnp.float32)
         else:
-            flow = jax.image.resize(flow, (T - 1, lh, lw, 2),
-                                    method="linear",
+            flow = jax.image.resize(flow, fshape, method="linear",
                                     antialias=False) * (1.0 / cfg.pyr_scale)
 
-        fused = (use_pallas if use_pallas is not None else on_tpu()) \
-            and farneback_stage_fits_vmem(lh, lw)
         if fused:
-            R = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma)
+            R = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma,
+                                      cf=True)
         else:
             R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
         R0, R1 = R[:-1], R[1:]
 
         band = _level_band(scale, envelope)
-        M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                            band=band)
+        if fused:
+            M = update_matrices_cf(R0, R1, flow, band=band)
+        else:
+            M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                band=band)
         for it in range(cfg.iterations):
             if fused:
-                flow = update_flow_pallas(M, cfg)
+                flow = update_flow_pallas(M, cfg, cf=True)
             else:
                 flow = _solve_flow(_blur_M(M, cfg))
             if it < cfg.iterations - 1:
-                M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                                    band=band)
-    return flow
+                M = (update_matrices_cf(R0, R1, flow, band=band)
+                     if fused else
+                     update_matrices(R0, R1, flow, use_pallas=use_pallas,
+                                     band=band))
+    return flow.transpose(0, 2, 3, 1) if fused else flow

@@ -76,20 +76,22 @@ def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
     the sweep to the pyramid level's displacement envelope (see
     flow.farneback._level_band — same argument)."""
     from video_analytics_tpu.ops.pallas.warp import (
-        DEFAULT_BAND, pallas_warp, warp_fits_vmem)
+        DEFAULT_BAND, pallas_warp_cf, warp_fits_vmem)
     from video_analytics_tpu.utils.platform import on_tpu
 
     B, H, W = I1.shape
     if use_pallas is None:
         use_pallas = on_tpu()
-    stacked = jnp.stack([I1, I1x, I1y], axis=-1)
     if use_pallas and warp_fits_vmem(H, W, 3):
-        w = pallas_warp(stacked, jnp.stack([u, v], axis=-1),
-                        r=band or DEFAULT_BAND)
-    else:
-        yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
-        xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-        w = bilinear_sample(stacked, yy + v, xx + u)
+        # Channels-first stack (the kernel's native layout): the three
+        # planes concatenate without an NHWC transpose round trip.
+        w = pallas_warp_cf(jnp.stack([I1, I1x, I1y], axis=1), u, v,
+                           r=band or DEFAULT_BAND)
+        return w[:, 0], w[:, 1], w[:, 2]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    w = bilinear_sample(jnp.stack([I1, I1x, I1y], axis=-1),
+                        yy + v, xx + u)
     return w[..., 0], w[..., 1], w[..., 2]
 
 

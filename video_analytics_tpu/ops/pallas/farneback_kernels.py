@@ -126,11 +126,13 @@ def sep_corr2d_pallas(x: jax.Array, v_plan: Plan,
 # Polynomial expansion
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "sigma"))
-def poly_expansion_pallas(img: jax.Array, n: int,
-                          sigma: float) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("n", "sigma", "cf"))
+def poly_expansion_pallas(img: jax.Array, n: int, sigma: float,
+                          cf: bool = False) -> jax.Array:
     """(B, H, W) → (B, H, W, 5) poly coefficients; two VMEM passes.
-    Matches flow.farneback.poly_expansion numerically."""
+    Matches flow.farneback.poly_expansion numerically.  With cf=True
+    returns channels-first (B, 5, H, W) — the kernel's native layout,
+    so the fused CF iteration chain skips the NHWC restack."""
     from video_analytics_tpu.flow.farneback import _poly_exp_setup
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_setup(n, sigma)
     g, xg, xxg = tuple(map(float, g)), tuple(map(float, xg)), \
@@ -146,25 +148,29 @@ def poly_expansion_pallas(img: jax.Array, n: int,
     cxx = s1 * ig03 + sxx * ig33
     cyy = s1 * ig03 + syy * ig33
     cxy = sxy * ig55
-    return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+    return jnp.stack([bx, by, cxx, cyy, cxy], axis=1 if cf else -1)
 
 
 # ---------------------------------------------------------------------------
 # Window average + 2x2 solve
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def update_flow_pallas(M: jax.Array,
-                       cfg: FarnebackConfig) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cfg", "cf"))
+def update_flow_pallas(M: jax.Array, cfg: FarnebackConfig,
+                       cf: bool = False) -> jax.Array:
     """(B, H, W, 5) normal-equation planes → (B, H, W, 2) flow: window
     average in VMEM per axis, 2x2 solve fused by XLA.  Matches
-    _solve_flow(_blur_M(M)) numerically."""
+    _solve_flow(_blur_M(M)) numerically.  With cf=True both sides are
+    channels-first ((B, 5, H, W) → (B, 2, H, W)) and the layout
+    round trips drop out of the iteration chain."""
     if cfg.gaussian_window:
         m = cfg.winsize // 2
         taps = tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
     else:
         taps = tuple([1.0 / cfg.winsize] * cfg.winsize)
-    Mcf = M.astype(jnp.float32).transpose(0, 3, 1, 2)   # (B, 5, H, W)
+    Mcf = M.astype(jnp.float32)
+    if not cf:
+        Mcf = Mcf.transpose(0, 3, 1, 2)                 # (B, 5, H, W)
     plan = tuple((c, taps) for c in range(5))
     blurred = sep_corr2d_pallas(Mcf, plan, plan)
     g11, g12, g22, h1, h2 = (blurred[:, i] for i in range(5))
@@ -172,7 +178,7 @@ def update_flow_pallas(M: jax.Array,
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     fx = (g22 * h1 - g12 * h2) * idet
     fy = (g11 * h2 - g12 * h1) * idet
-    return jnp.stack([fx, fy], axis=-1)
+    return jnp.stack([fx, fy], axis=1 if cf else -1)
 
 
 def farneback_stage_fits_vmem(h: int, w: int) -> bool:

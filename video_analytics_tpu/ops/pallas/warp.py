@@ -54,12 +54,12 @@ def _halo(r: int) -> int:
     return r + 8
 
 
-def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
-    """1D banded resample along the sublane axis.
+def _select_lerp(read_block, off, frac, shape, r: int, h: int):
+    """The shared two-stage hierarchical select + lerp body.
 
-    src (C, Nout + 2h, M) carries the halo; out (C, Nout, M) is the
-    interior: out[c, i, j] = src[c, h+i+off, j]*(1-frac)
-                           + src[c, h+i+off+1, j]*frac.
+    ``read_block(base)`` returns the (C, Nout + 8, M) source slice
+    starting at sublane row ``base`` (a static, 8-aligned python int —
+    h == r + 8 so the first base (h - r) is 8).
 
     Two-stage hierarchical select (~15% over the flat sweep, measured):
     stage 1 sweeps the ceil((2r+2)/8) 8-aligned chunks once, building
@@ -70,12 +70,8 @@ def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
     whole loop nest is statically unrolled (Mosaic schedules it well;
     the T planes are why the band model charges ~9C extra rows).
     """
-    C, NI, M = src_ref.shape
-    Nout = out_ref.shape[1]
-    h = (NI - Nout) // 2
-
-    off = off_ref[:]
-    frac = frac_ref[:][None]
+    C, Nout, M = shape
+    frac = frac[None]
     idx = off + r                        # [0, 2r]
     coarse = idx // 8
     fine = idx % 8
@@ -83,8 +79,8 @@ def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
 
     T = [jnp.zeros((C, Nout, M), jnp.float32) for _ in range(9)]
     for c in range(n_chunks):
-        base = c * 8 + (h - r)           # (h - r) == 8: all 8-aligned
-        block = src_ref[:, base:base + Nout + 8, :]
+        base = c * 8 + (h - r)
+        block = read_block(base)
         mc = (coarse == c)[None]
         for f in range(9):
             T[f] = jnp.where(mc, block[:, f:f + Nout, :], T[f])
@@ -94,7 +90,68 @@ def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
         mf = (fine == f)[None]
         acc0 = jnp.where(mf, T[f], acc0)
         acc1 = jnp.where(mf, T[f + 1], acc1)
-    out_ref[:] = acc0 * (1.0 - frac) + acc1 * frac
+    return acc0 * (1.0 - frac) + acc1 * frac
+
+
+def _axis_kernel(src_ref, off_ref, frac_ref, out_ref, *, r: int):
+    """1D banded resample along the sublane axis.
+
+    src (C, Nout + 2h, M) carries the halo; out (C, Nout, M) is the
+    interior: out[c, i, j] = src[c, h+i+off, j]*(1-frac)
+                           + src[c, h+i+off+1, j]*frac.
+    """
+    C, NI, M = src_ref.shape
+    Nout = out_ref.shape[1]
+    h = (NI - Nout) // 2
+    out_ref[:] = _select_lerp(
+        lambda base: src_ref[:, base:base + Nout + 8, :],
+        off_ref[:], frac_ref[:], (C, Nout, M), r, h)
+
+
+def _axis_kernel_inpad(src_ref, off_ref, frac_ref, out_ref, pad_ref,
+                       *, r: int):
+    """_axis_kernel taking the UNPADDED (C, N, M) whole-axis source and
+    replicating the halo into a VMEM scratch in-kernel.  This replaces
+    the XLA-level ``jnp.pad(mode="edge")`` of the single-band path,
+    whose materialisation cost a full HBM round trip of the haloed
+    plane per warp (~0.2-0.3ms each at (64, 224², 5) — the
+    pad_maximum fusions in the headline trace)."""
+    C, N, M = src_ref.shape
+    h = (pad_ref.shape[1] - N) // 2
+    x = src_ref[:]
+    pad_ref[:, h:h + N, :] = x
+    pad_ref[:, :h, :] = jnp.broadcast_to(x[:, :1, :], (C, h, M))
+    pad_ref[:, h + N:, :] = jnp.broadcast_to(x[:, N - 1:, :], (C, h, M))
+    out_ref[:] = _select_lerp(
+        lambda base: pad_ref[:, base:base + N + 8, :],
+        off_ref[:], frac_ref[:], (C, N, M), r, h)
+
+
+def _axis_warp_inpad(src: jax.Array, off: jax.Array, frac: jax.Array,
+                     r: int) -> jax.Array:
+    """(B, C, N, M) UNPADDED source + (B, N, M) offsets → (B, C, N, M)
+    banded 1D resample along axis 2, halo replicated in-kernel."""
+    B, C, N, M = src.shape
+    h = _halo(r)
+    return pl.pallas_call(
+        functools.partial(_axis_kernel_inpad, r=r),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, C, N, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, C, N, M), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, N, M), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, N + 2 * h, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=pallas_interpret(),
+    )(src, off, frac)
 
 
 def _axis_warp(src: jax.Array, off: jax.Array, frac: jax.Array,
@@ -128,7 +185,7 @@ def _axis_warp(src: jax.Array, off: jax.Array, frac: jax.Array,
 # limit is raised and the band model below sizes the TOTAL working set
 # (scoped + double-buffered pipeline blocks) against _TOTAL_BUDGET.
 _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
-_TOTAL_BUDGET_FLOATS = 100 * 1024 * 1024 // 4
+_TOTAL_BUDGET_FLOATS = 94 * 1024 * 1024 // 4
 
 
 def _band_size(c: int, m: int, r: int) -> int:
@@ -137,14 +194,18 @@ def _band_size(c: int, m: int, r: int) -> int:
     channels).  Accounting per band of ``n`` interior rows (lane-padded
     width mp): scoped — nine T planes 9·C·n, accumulators 2·C·n, chunk
     slice C·(n+8), index/mask planes ~7·n; pipelined — in blocks
-    2·C·(n+2h), off/frac 4·n, out 2·C·n → ≈ (16C+11)·n + (4h+16)·C
-    rows; verified live at (C=5, m=224, n=224) under the raised scoped
-    limit, and the pre-hierarchical model was verified at
-    (C=1, m=1920, n=128)."""
+    2·C·(n+2h), off/frac 4·n, out 2·C·n, plus ~5·n of residual scoped
+    temporaries → ≈ (16C+16)·n + (4h+16)·C rows against a budget with
+    ~6% margin.  The per-row coefficient and the margin are calibrated
+    live: grid>1 makes Mosaic double-buffer the pipelined blocks (a
+    B=1-only calibration of this model compiled at 100MB/coeff 11 but
+    OOM'd scoped VMEM at B=2 with a (C=3, m=983, n=424) block at
+    107.78M); the current values keep that worst case ≈94M.  Verified
+    at (C=5, m=224, n=224) grid 64 and (C=3, m=983/1920) grid 2."""
     mp = -(-m // 128) * 128
     rows_budget = _TOTAL_BUDGET_FLOATS // mp
     h = _halo(r)
-    band = (rows_budget - (4 * h + 16) * c) // (16 * c + 11)
+    band = (rows_budget - (4 * h + 16) * c) // (16 * c + 16)
     if band < 8:
         return 0
     return (band // 8) * 8
@@ -166,6 +227,12 @@ def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
         return jnp.concatenate(
             [_axis_warp_any(src[:, :half], off, frac, r),
              _axis_warp_any(src[:, half:], off, frac, r)], axis=1)
+    # Whole-axis-in-one-band case (every pipeline shape at ≤256²): the
+    # in-kernel-replicate variant skips the XLA edge-pad round trip.
+    # Its scratch adds ~C·(N+2h) rows — charged against the same
+    # budget via the band recheck with c+1 "channels".
+    if N <= _band_size(C + 1, M, r):
+        return _axis_warp_inpad(src, off, frac, r)
     band = max(band, 8)
     h = _halo(r)
     outs = []
@@ -184,22 +251,24 @@ def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
-def pallas_warp(img: jax.Array, flow: jax.Array,
-                r: int = DEFAULT_BAND) -> jax.Array:
-    """Bilinear warp of (B, H, W, C) by flow (B, H, W, 2):
-    out(p) = img(p + flow(p)), clamped borders, |flow| clamped to ±r.
+def pallas_warp_cf(img_cf: jax.Array, dx: jax.Array, dy: jax.Array,
+                   r: int = DEFAULT_BAND) -> jax.Array:
+    """Channels-first bilinear warp: (B, C, H, W) by per-pixel
+    displacements dx, dy each (B, H, W) → (B, C, H, W);
+    out(p) = img(p + d(p)), clamped borders, |d| clamped to ±r.
 
-    Drop-in for ops.kernels.warp_by_flow on the flow hot path.  Images
-    of any size are handled by row-banding with input-side halos (the
-    per-band working set, not the image, must fit VMEM)."""
-    B, H, W, C = img.shape
+    This is pallas_warp without the NHWC layout round trips — the
+    fused Farneback iteration chains channels-first through
+    poly → warp → window-blur, so the inter-kernel transposes (the
+    ~1ms/call layout tax at 224², STATUS r2 known gap) vanish."""
+    B, C, H, W = img_cf.shape
     r = max(1, min(r, H - 2, W - 2))
-    img_cf = img.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, C, H, W)
+    img_cf = img_cf.astype(jnp.float32)
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    ys = jnp.clip(yy + flow[..., 1], 0.0, H - 1.0)
-    xs = jnp.clip(xx + flow[..., 0], 0.0, W - 1.0)
+    ys = jnp.clip(yy + dy, 0.0, H - 1.0)
+    xs = jnp.clip(xx + dx, 0.0, W - 1.0)
     y0 = jnp.clip(jnp.floor(ys), 0.0, H - 2.0)
     x0 = jnp.clip(jnp.floor(xs), 0.0, W - 2.0)
     fy = ys - y0
@@ -211,7 +280,21 @@ def pallas_warp(img: jax.Array, flow: jax.Array,
     midT = mid.transpose(0, 1, 3, 2)                     # (B, C, W, H)
     outT = _axis_warp_any(midT, dx_off.transpose(0, 2, 1),
                           fx.transpose(0, 2, 1), r)
-    return outT.transpose(0, 3, 2, 1)                    # (B, H, W, C)
+    return outT.transpose(0, 1, 3, 2)                    # (B, C, H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def pallas_warp(img: jax.Array, flow: jax.Array,
+                r: int = DEFAULT_BAND) -> jax.Array:
+    """Bilinear warp of (B, H, W, C) by flow (B, H, W, 2):
+    out(p) = img(p + flow(p)), clamped borders, |flow| clamped to ±r.
+
+    Drop-in for ops.kernels.warp_by_flow on the flow hot path.  Images
+    of any size are handled by row-banding with input-side halos (the
+    per-band working set, not the image, must fit VMEM)."""
+    img_cf = img.astype(jnp.float32).transpose(0, 3, 1, 2)
+    out_cf = pallas_warp_cf(img_cf, flow[..., 0], flow[..., 1], r=r)
+    return out_cf.transpose(0, 2, 3, 1)                  # (B, H, W, C)
 
 
 def warp_fits_vmem(h: int, w: int, _c: int = 1,
