@@ -27,24 +27,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh fixed-seed generator PER TEST: a session-scoped stateful
+    generator made every tolerance-gated test's input depend on which
+    tests ran before it (running a file alone vs in the suite changed
+    the data — test_banded_solver_in_driver flaked exactly this way)."""
     return np.random.default_rng(0)
 
 
 @pytest.fixture(scope="session")
-def frame_pair(rng):
+def frame_pair():
     """A realistic-ish gray frame pair with smooth global motion.
 
     Smooth content (band-limited noise) + known translation, the regime
     where classical flow methods are accurate — good for oracle parity.
     """
     from tests.fixtures import smooth_pair
-    return smooth_pair(rng, h=96, w=128, dx=2.3, dy=-1.1)
+    return smooth_pair(np.random.default_rng(7), h=96, w=128,
+                       dx=2.3, dy=-1.1)
 
 
 @pytest.fixture(scope="session")
-def tiny_clip(tmp_path_factory, rng):
+def tiny_clip(tmp_path_factory):
     """A small synthetic mp4 with a moving square, on disk."""
     from tests.fixtures import moving_square_frames
     from video_analytics_tpu.io.video import synthesize_video

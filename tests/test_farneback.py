@@ -35,8 +35,9 @@ def _compare(u1, u2, cfg: FarnebackConfig, cv_args, cv_flags=0,
 
 
 @pytest.fixture(scope="module")
-def pair(rng):
-    f1, f2 = smooth_pair(rng, 96, 128, dx=2.3, dy=-1.1)
+def pair():
+    f1, f2 = smooth_pair(np.random.default_rng(0), 96, 128,
+                         dx=2.3, dy=-1.1)
     return f1.astype(np.uint8), f2.astype(np.uint8)
 
 

@@ -193,7 +193,16 @@ def test_banded_solver_in_driver(rng):
     reference driver closely (same algorithm, SOLVER kernel path
     swapped; the warp is pinned to the exact gather in both runs so
     only the solver differs — use_pallas=True otherwise swaps the
-    Pallas warp in too)."""
+    Pallas warp in too).
+
+    Two gates: with adaptive banding OFF the banded chain is exact
+    (≤1e-4); with the default ADAPTIVE banding the skipped band
+    updates are each below cv2's own ε stop criterion, so the driver
+    deviation is bounded at the 10·ε scale (same bound as
+    test_banded_solver_adaptive (b) — on some inputs bands do skip
+    while the reference keeps iterating, and ~ε-scale deviation is the
+    designed trade)."""
+    import functools as ft
     import video_analytics_tpu.ops.pallas.tvl1_solve as ts
     import video_analytics_tpu.ops.pallas.warp as pw
 
@@ -204,18 +213,27 @@ def test_banded_solver_in_driver(rng):
                           cfg, use_pallas=False))
     orig_fits, orig_params = ts.solver_fits_vmem, ts.banded_params
     orig_warp_fits = pw.warp_fits_vmem
+    orig_banded = ts.tvl1_solve_warp_banded
     ts.solver_fits_vmem = lambda *a: False
     ts.banded_params = lambda h, w, c: (16, 4)
     pw.warp_fits_vmem = lambda *a, **k: False
     try:
-        out = np.asarray(tvl1(jnp.asarray(f1[None]),
-                              jnp.asarray(f2[None]), cfg,
-                              use_pallas=True))
+        out_adaptive = np.asarray(tvl1(jnp.asarray(f1[None]),
+                                       jnp.asarray(f2[None]), cfg,
+                                       use_pallas=True))
+        ts.tvl1_solve_warp_banded = ft.partial(orig_banded,
+                                               adaptive=False)
+        out_exact = np.asarray(tvl1(jnp.asarray(f1[None]),
+                                    jnp.asarray(f2[None]), cfg,
+                                    use_pallas=True))
     finally:
         ts.solver_fits_vmem, ts.banded_params = orig_fits, orig_params
         pw.warp_fits_vmem = orig_warp_fits
-    epe = np.linalg.norm(out - ref, axis=-1)
+        ts.tvl1_solve_warp_banded = orig_banded
+    epe = np.linalg.norm(out_exact - ref, axis=-1)
     assert epe.max() < 1e-4, epe.max()
+    epe_a = np.linalg.norm(out_adaptive - ref, axis=-1)
+    assert epe_a.max() < 10 * cfg.epsilon, epe_a.max()
 
 
 def test_median_filter_matches_cv2(rng):
