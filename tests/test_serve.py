@@ -1,0 +1,128 @@
+"""Serving surface tests: the long-running classify server
+(runtime/serve.py + `tpuva serve`) — shape normalisation parity, the
+line protocol incl. failure containment, and the CLI glue."""
+
+import io
+import json
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from video_analytics_tpu.config import PipelineConfig, PreprocessConfig
+from video_analytics_tpu.ingest import host_normalize_square
+from video_analytics_tpu.models.two_stream import TwoStreamModel
+from video_analytics_tpu.runtime.serve import ClipServer
+
+
+def test_host_normalize_square_shapes():
+    for h, w in [(120, 160), (160, 120), (64, 64), (40, 300), (480, 640)]:
+        frames = np.random.default_rng(0).integers(
+            0, 255, (3, h, w, 3), dtype=np.uint8)
+        out = host_normalize_square(frames, 64)
+        assert out.shape == (3, 64, 64, 3), (h, w, out.shape)
+        assert out.dtype == np.uint8
+
+
+def test_host_normalize_square_crop_parity():
+    """crop(normalized) must select the same pixel region as the device
+    resize_short_center_crop of the raw frames — uint8 rounding at the
+    intermediate is the only permitted delta."""
+    import cv2
+    import jax.numpy as jnp
+    from video_analytics_tpu.ops.preprocess import resize_short_center_crop
+
+    rng = np.random.default_rng(3)
+    short, crop = 64, 56
+    for h, w in [(120, 161), (90, 73), (64, 200)]:
+        raw = cv2.GaussianBlur(
+            rng.uniform(0, 255, (h, w, 3)).astype(np.float32), (7, 7), 0
+        ).astype(np.uint8)[None]
+        direct = np.asarray(resize_short_center_crop(
+            jnp.asarray(raw), short, crop))
+        via_norm = np.asarray(resize_short_center_crop(
+            jnp.asarray(host_normalize_square(raw, short)), short, crop))
+        assert np.abs(direct - via_norm).max() < 2.0, (h, w)
+
+
+@pytest.fixture(scope="module")
+def server(tiny_clip):
+    cfg = PipelineConfig(
+        flow_algo="farneback",
+        preprocess=PreprocessConfig(resize_short=64, crop=56,
+                                    flow_stack=3),
+        window=6, num_classes=7)
+    model = TwoStreamModel.create(num_classes=7, flow_stack=3)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return ClipServer(model, variables, cfg, num_windows=1, topk=3)
+
+
+def test_serve_classify_and_protocol(server, tiny_clip):
+    # warmup compiles the same executable real requests use
+    assert server.warmup() > 0.0
+
+    resp = server.handle_line(json.dumps({"path": tiny_clip, "id": 42}))
+    assert resp["id"] == 42 and resp["path"] == tiny_clip
+    assert 0 <= resp["top1"] < 7 and len(resp["topk"]) == 3
+    probs = [t["prob"] for t in resp["topk"]]
+    assert probs == sorted(probs, reverse=True)
+    assert resp["ms"] > 0
+
+    # per-request topk override
+    resp = server.handle_line(json.dumps({"path": tiny_clip, "topk": 1}))
+    assert len(resp["topk"]) == 1
+
+    # ping reports liveness + served count
+    resp = server.handle_line(json.dumps({"cmd": "ping"}))
+    assert resp["ok"] and resp["served"] == 2
+
+
+def test_serve_failure_containment(server, tiny_clip):
+    # a missing clip answers an error WITHOUT killing the server
+    resp = server.handle_line(json.dumps({"path": "/nope/missing.mp4"}))
+    assert "error" in resp and resp["path"] == "/nope/missing.mp4"
+    # bad JSON answers an error line too
+    resp = server.handle_line("{not json")
+    assert "error" in resp
+    # a request with neither path nor cmd
+    resp = server.handle_line(json.dumps({"id": 1}))
+    assert "error" in resp and resp["id"] == 1
+    # ...and the server still serves afterwards
+    resp = server.handle_line(json.dumps({"path": tiny_clip}))
+    assert "top1" in resp
+
+
+def test_serve_loop_shutdown(server, tiny_clip):
+    stdin = io.StringIO("\n".join([
+        json.dumps({"path": tiny_clip, "id": 1}),
+        "",                                      # blank lines skipped
+        json.dumps({"cmd": "shutdown"}),
+        json.dumps({"path": tiny_clip, "id": 2}),   # never reached
+    ]) + "\n")
+    stdout = io.StringIO()
+    server.serve_forever(stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["id"] == 1 and "top1" in lines[0]
+    assert lines[1]["ok"] is True
+
+
+def test_serve_cli(monkeypatch, capsys, tiny_clip):
+    """The `tpuva serve` glue end-to-end: --warmup prints a ready line,
+    then requests stream through stdin."""
+    from video_analytics_tpu.cli.main import main
+
+    stdin = io.StringIO(json.dumps({"path": tiny_clip}) + "\n"
+                        + json.dumps({"cmd": "shutdown"}) + "\n")
+    monkeypatch.setattr(sys, "stdin", stdin)
+    rc = main(["serve", "--algo", "farneback", "--num-classes", "5",
+               "--resize-short", "64", "--crop", "56",
+               "--flow-stack", "3", "--window", "6",
+               "--topk", "2", "--warmup"])
+    assert rc == 0
+    lines = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True
+    assert "top1" in lines[1] and len(lines[1]["topk"]) == 2
+    assert lines[2]["ok"] is True

@@ -650,6 +650,49 @@ def cmd_convert_weights(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# serve
+# ---------------------------------------------------------------------------
+
+def cmd_serve(args) -> int:
+    """Long-running classify server over a stdin/stdout line protocol
+    (runtime/serve.py).  Unlike per-invocation classify-clip, the
+    checkpoint loads and the executable compiles ONCE; --warmup pays
+    the compile at startup (before the first request) on synthetic
+    frames at the normalised shape."""
+    from video_analytics_tpu.runtime.serve import ClipServer
+
+    cfg = _pipeline_config(args)
+    model, variables = _load_two_stream(
+        args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
+        width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
+        arch=args.arch)
+
+    classes: Optional[List[str]] = None
+    if args.class_index:
+        from video_analytics_tpu.io.dataset import read_class_index
+        ci = read_class_index(args.class_index)
+        classes = [None] * len(ci)
+        for name, idx in ci.items():
+            classes[idx] = name
+
+    server = ClipServer(model, variables, cfg, classes=classes,
+                        num_windows=args.windows, topk=args.topk,
+                        normalize=not args.raw,
+                        max_frames=args.max_frames)
+    if args.warmup:
+        if args.raw:
+            print(json.dumps({"error": "--warmup needs shape "
+                              "normalisation (drop --raw)"}),
+                  file=sys.stderr)
+            return 2
+        secs = server.warmup()
+        print(json.dumps({"ready": True, "warmup_s": round(secs, 1)}),
+              flush=True)
+    server.serve_forever()
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # parser plumbing
 # ---------------------------------------------------------------------------
 
@@ -719,6 +762,31 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--windows", type=int, default=1)
     _add_flow_args(cc)
     cc.set_defaults(fn=cmd_classify_clip)
+
+    sv = sub.add_parser(
+        "serve",
+        help="long-running classify server (JSON lines on stdin/stdout; "
+             "compiles once, answers many)")
+    sv.add_argument("--algo", choices=["tvl1", "farneback"],
+                    default="tvl1")
+    sv.add_argument("--checkpoint", default=None)
+    sv.add_argument("--class-index", default=None,
+                    help="UCF101 classInd.txt for names")
+    _add_model_args(sv)
+    sv.add_argument("--topk", type=int, default=5)
+    sv.add_argument("--windows", type=int, default=1,
+                    help="snippets per clip (fixed at startup: it is "
+                         "part of the compiled shape)")
+    sv.add_argument("--max-frames", type=int, default=300)
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile before accepting requests; prints a "
+                         "{ready: true} line when done")
+    sv.add_argument("--raw", action="store_true",
+                    help="skip host shape normalisation (bitwise the "
+                         "classify-clip path; each new input resolution "
+                         "recompiles)")
+    _add_flow_args(sv)
+    sv.set_defaults(fn=cmd_serve)
 
     ev = sub.add_parser("eval-ucf101", help="UCF101 split eval")
     ev.add_argument("--videos", required=True)

@@ -1,4 +1,5 @@
 from video_analytics_tpu.ingest.windows import (  # noqa: F401
+    host_normalize_square,
     host_resize_short,
     sliding_windows,
     window_starts,

@@ -39,6 +39,35 @@ def sliding_windows(frames: np.ndarray, window: int,
         yield frames[s:s + window]
 
 
+def host_normalize_square(frames: np.ndarray, short: int) -> np.ndarray:
+    """(T, H, W, 3) uint8 → (T, short, short, 3): resize the short side
+    to `short` (up OR down, cv2 INTER_LINEAR — device-resize parity)
+    and centre-crop the long side to `short`.
+
+    This is the serving-process shape normaliser: heterogeneous input
+    resolutions all map to ONE static shape, so the long-running server
+    compiles a single executable (runtime/serve.py).  Centre crops
+    compose — crop(short→crop) of this result selects exactly the
+    pixel region the device's resize_short_center_crop would take from
+    the raw frames (offsets differ by a constant under either rounding
+    parity); the only numerics delta vs the raw path is the uint8
+    rounding at this intermediate, same as the host_resize_short lever
+    evaluate_batched already uses."""
+    import cv2
+    h, w = frames.shape[1:3]
+    if h <= w:
+        nh, nw = short, max(short, int(round(w * short / h)))
+    else:
+        nh, nw = max(short, int(round(h * short / w))), short
+    if (nh, nw) != (h, w):
+        frames = np.stack([
+            cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            for f in frames])
+    top = int(round((nh - short) / 2.0))
+    left = int(round((nw - short) / 2.0))
+    return frames[:, top:top + short, left:left + short]
+
+
 def host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
     """(T, H, W, 3) uint8 → short side == `short` via cv2 on host.
 

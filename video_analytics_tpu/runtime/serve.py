@@ -1,0 +1,181 @@
+"""Long-running clip-classification server (the serving surface).
+
+The per-invocation `tpuva classify-clip` CLI pays interpreter startup,
+checkpoint load and XLA compilation on EVERY clip — fine for the
+reference's batch-script workflow (SURVEY.md §1a moves data between
+stages through the filesystem), wrong for a deployment that answers
+requests.  `tpuva serve` keeps the process, the loaded variables and
+the compiled two-stream executable warm and answers over a line
+protocol; with shape normalisation on (default), heterogeneous input
+resolutions all map to one static window shape, so the server compiles
+ONCE (at startup with --warmup, else on the first request) and every
+subsequent clip is decode + a single warm dispatch.
+
+Protocol: one JSON object per line on stdin → one JSON object per line
+on stdout (responses carry the request's "id" when given):
+
+    {"path": "/clip.mp4"}                 → classification
+    {"path": "/clip.mp4", "id": 7, "topk": 5}
+    {"cmd": "ping"}                       → {"ok": true}
+    {"cmd": "shutdown"}                   → {"ok": true}, then exit
+
+Per-request failures (missing file, corrupt container, bad JSON) are
+contained: the server answers {"error": ...} on that line and keeps
+serving — the same containment discipline as the eval driver
+(runtime/evaluate.py; SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from video_analytics_tpu.config import PipelineConfig
+from video_analytics_tpu.models.two_stream import TwoStreamModel
+from video_analytics_tpu.runtime.pipeline import (
+    classify_batch, classify_window, sample_window)
+from video_analytics_tpu.utils.logging import get_logger
+
+log = get_logger("tpuva.serve")
+
+
+class ClipServer:
+    """Holds the loaded model and answers classify requests.
+
+    normalize=True (default): every decoded clip is host-normalised to
+    (T, short, short, 3) via ingest.host_normalize_square, giving the
+    server ONE compiled executable for all input resolutions (and the
+    host→HBM transfer of the cropped region only).  normalize=False
+    keeps raw frames — bitwise the classify-clip CLI path, but each new
+    input resolution pays a fresh XLA compile.
+    """
+
+    def __init__(self, model: TwoStreamModel, variables,
+                 cfg: PipelineConfig,
+                 classes: Optional[List[str]] = None,
+                 num_windows: int = 1, topk: int = 5,
+                 normalize: bool = True, max_frames: int = 300):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.classes = classes
+        self.num_windows = max(1, num_windows)
+        self.topk = topk
+        self.normalize = normalize
+        self.max_frames = max_frames
+        self.window = max(cfg.window, cfg.preprocess.flow_stack + 1)
+        self.served = 0
+
+    # -- core ----------------------------------------------------------
+
+    def _windows_from_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(T, H, W, 3) → (N, window, h, w, 3) snippet windows."""
+        if self.normalize:
+            from video_analytics_tpu.ingest import host_normalize_square
+            frames = host_normalize_square(
+                frames, self.cfg.preprocess.resize_short)
+        t, win, n = len(frames), self.window, self.num_windows
+        if n <= 1 or t <= win:
+            wins = frames[sample_window(t, win)][None]
+            if n > 1:                      # keep the (N, ...) shape static
+                wins = np.repeat(wins, n, axis=0)
+        else:
+            starts = np.linspace(0, t - win, n).astype(int)
+            wins = np.stack([frames[s:s + win] for s in starts])
+        return wins
+
+    def _classify(self, wins: np.ndarray) -> np.ndarray:
+        if wins.shape[0] == 1:
+            return np.asarray(classify_window(
+                wins[0], self.variables, self.model, self.cfg))
+        probs = np.asarray(classify_batch(
+            wins, self.variables, self.model, self.cfg))
+        return probs.mean(0)
+
+    def warmup(self) -> float:
+        """Compile the serving executable on synthetic frames; returns
+        the wall seconds spent.  Only meaningful with normalize=True
+        (without it the compiled shape depends on the input clip)."""
+        t0 = time.perf_counter()
+        short = self.cfg.preprocess.resize_short
+        frames = np.zeros((self.window, short, short, 3), np.uint8)
+        self._classify(self._windows_from_frames(frames))
+        return time.perf_counter() - t0
+
+    def classify_path(self, path: str, topk: Optional[int] = None
+                      ) -> Dict[str, Any]:
+        from video_analytics_tpu.io.video import VideoReader
+
+        t0 = time.perf_counter()
+        with VideoReader(path) as r:
+            frames = r.read_all(max_frames=self.max_frames)
+        probs = self._classify(self._windows_from_frames(frames))
+        k = topk or self.topk
+        order = np.argsort(probs)[::-1][:k]
+        self.served += 1
+        return {
+            "path": path,
+            "top1": int(order[0]),
+            "topk": [{"class_id": int(i),
+                      "class_name": (self.classes[i]
+                                     if self.classes else None),
+                      "prob": float(probs[i])} for i in order],
+            "ms": round(1e3 * (time.perf_counter() - t0), 2),
+        }
+
+    # -- line protocol ---------------------------------------------------
+
+    def handle_line(self, line: str) -> Optional[Dict[str, Any]]:
+        """One request line → response dict, or None for blank lines.
+        A {"cmd": "shutdown"} response carries {"_shutdown": True} for
+        the loop to act on after writing the reply."""
+        line = line.strip()
+        if not line:
+            return None
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            return {"error": f"bad request: {e}"}
+        rid = req.get("id")
+
+        def tag(resp):
+            if rid is not None:
+                resp["id"] = rid
+            return resp
+
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            return tag({"ok": True, "served": self.served})
+        if cmd == "shutdown":
+            return tag({"ok": True, "_shutdown": True})
+        if cmd is not None:
+            return tag({"error": f"unknown cmd: {cmd!r}"})
+        path = req.get("path")
+        if not path:
+            return tag({"error": "request needs a 'path' (or 'cmd')"})
+        try:
+            return tag(self.classify_path(path, topk=req.get("topk")))
+        except Exception as e:  # corrupt/missing clip: contain, keep serving
+            log.warning("request failed: %s (%r)", path, e)
+            return tag({"path": path, "error": repr(e)})
+
+    def serve_forever(self, stdin=None, stdout=None) -> int:
+        """Blocking stdin→stdout loop; returns the number served."""
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            resp = self.handle_line(line)
+            if resp is None:
+                continue
+            shutdown = resp.pop("_shutdown", False)
+            stdout.write(json.dumps(resp) + "\n")
+            stdout.flush()
+            if shutdown:
+                break
+        return self.served
