@@ -443,14 +443,36 @@ def main():
         cpu_clips_ps = None
     # Pinned protocol: the headline `value` is the ABSOLUTE fps; the
     # ratio is only published when the measured CPU denominator lands
-    # in its sanity band (host contention otherwise corrupts it).
+    # in its sanity band (host contention otherwise corrupts it), and
+    # it divides by the MEDIAN of the last 5 in-band CPU measurements
+    # on this host (bench/results/metrics.jsonl history, including this
+    # run) — single-run denominators on the 1-core host still swing
+    # ±25% between runs, which round-over-round made vs_baseline drift
+    # with no change in TPU performance (VERDICT r2 weak #1).
     cpu_ok = CPU_FPS_BAND[0] <= cpu_fps <= CPU_FPS_BAND[1]
+    cpu_hist = []
+    try:
+        with open(os.path.join(REPO, "bench", "results",
+                               "metrics.jsonl")) as f:
+            for ln in f:                        # chronological
+                rec = json.loads(ln)
+                past = rec.get("cpu_reference_fps")
+                if past and CPU_FPS_BAND[0] <= past <= CPU_FPS_BAND[1]:
+                    cpu_hist.append(float(past))
+    except OSError:
+        pass
+    if cpu_ok:
+        cpu_hist.append(cpu_fps)
+    cpu_med = float(np.median(cpu_hist[-5:])) if cpu_hist else None
     result = {
         "metric": "frames_per_sec_per_chip_flow_plus_features",
         "value": round(tpu_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2) if cpu_ok else None,
+        "vs_baseline": (round(tpu_fps / cpu_med, 2)
+                        if cpu_ok and cpu_med else None),
         "cpu_reference_fps": round(cpu_fps, 2),
+        "cpu_reference_fps_median5": (round(cpu_med, 2)
+                                      if cpu_med else None),
         "cpu_reference_in_band": cpu_ok,
         "clips_per_sec": clips_ps,
         "cpu_reference_clips_per_sec": cpu_clips_ps,
