@@ -70,14 +70,9 @@ def cmd_compute_flow(args) -> int:
     n_pairs = len(frames) - 1
     if args.algo == "spynet":
         # Learned flow: needs trained weights (see models/spynet.py).
-        from video_analytics_tpu.models.spynet import (
-            SpyNet, default_spynet_checkpoint, init_spynet)
-        from video_analytics_tpu.runtime.checkpoint import load_variables
-        ckpt = args.spynet_checkpoint or default_spynet_checkpoint()
+        from video_analytics_tpu.models.spynet import SpyNet
+        weights = _spynet_params(args)
         model = SpyNet(levels=4)
-        template = {"params": init_spynet(
-            model, __import__("jax").random.PRNGKey(0))["params"]}
-        weights = load_variables(ckpt, template)
         base = jax.jit(lambda a, b: model.apply(
             {"params": weights["params"]}, a, b))
     else:
@@ -150,10 +145,28 @@ def _flow_configs(args):
     return FarnebackConfig(**fb_kw), TVL1Config(**pick(tv_map))
 
 
+def _spynet_params(args):
+    """Load SpyNet params for --algo spynet (the user's
+    --spynet-checkpoint or the bundled synthetic-trained weights);
+    returned in apply() form, attachable as variables["flow"]."""
+    import jax
+    from video_analytics_tpu.models.spynet import (
+        SpyNet, default_spynet_checkpoint, init_spynet)
+    from video_analytics_tpu.runtime.checkpoint import load_variables
+    ckpt = getattr(args, "spynet_checkpoint", None) \
+        or default_spynet_checkpoint()
+    template = {"params": init_spynet(
+        SpyNet(levels=4), jax.random.PRNGKey(0))["params"]}
+    return load_variables(ckpt, template)
+
+
 def _add_flow_args(p):
     """The cv2 flow-parameter surface (calcOpticalFlowFarneback /
     DualTVL1OpticalFlow_create), exposed per algorithm with cv2's
-    defaults; SURVEY.md §3.2."""
+    defaults, plus the learned-flow checkpoint; SURVEY.md §3.2."""
+    p.add_argument("--spynet-checkpoint", default=None,
+                   help="weights for --algo spynet (default: bundled "
+                        "checkpoints_data/spynet_synthetic.msgpack)")
     fb = p.add_argument_group("farneback (cv2.calcOpticalFlowFarneback)")
     fb.add_argument("--fb-pyr-scale", type=float, default=None)
     fb.add_argument("--fb-levels", type=int, default=None)
@@ -188,7 +201,8 @@ def _pipeline_config(args):
     fb, tv = _flow_configs(args)
     kw = dict(preprocess=pre, num_classes=args.num_classes,
               farneback=fb, tvl1=tv)
-    if getattr(args, "algo", None) in ("tvl1", "farneback"):
+    if getattr(args, "algo", None) in ("tvl1", "farneback",
+                                   "spynet"):
         kw["flow_algo"] = args.algo
     if getattr(args, "window", None) is not None:
         kw["window"] = args.window
@@ -314,7 +328,8 @@ def cmd_extract_features(args) -> int:
             return 2
         out["flow"] = np.asarray(flow_features(
             jnp.asarray(frames), variables["temporal"], model.temporal,
-            cfg))
+            cfg, flow_variables=(_spynet_params(args)
+                                 if args.algo == "spynet" else None)))
     np.savez(args.out, **out)
     print(json.dumps({k: list(v.shape) for k, v in out.items()}
                      | {"out": args.out}))
@@ -342,6 +357,8 @@ def cmd_classify_clip(args) -> int:
         for name, idx in ci.items():
             classes[idx] = name
 
+    if args.algo == "spynet":
+        variables["flow"] = _spynet_params(args)
     probs = classify_clip_file(args.video, variables, model, cfg,
                                num_windows=args.windows)
     topk = np.argsort(probs)[::-1][:args.topk]
@@ -367,6 +384,8 @@ def cmd_eval_ucf101(args) -> int:
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
         arch=args.arch)
+    if args.algo == "spynet":
+        variables["flow"] = _spynet_params(args)
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
                 split=args.split)
     if args.batched:
@@ -451,6 +470,8 @@ def cmd_train(args) -> int:
     states = jax.device_put(states, replicated(mesh))
     ddim = mesh.devices.shape[0]
 
+    flow_params = (_spynet_params(args) if args.algo == "spynet"
+                   else None)
     key = jax.random.PRNGKey(args.seed)
     win = train_window_len(cfg)
     sampler = TrainWindowSampler(
@@ -476,7 +497,8 @@ def cmd_train(args) -> int:
         for batch_w, y in DevicePrefetcher(host_batches(), depth=2,
                                            sharding=sharding):
             key, sub = jax.random.split(key)
-            examples = build_examples(batch_w, sub, cfg, args.stream)
+            examples = build_examples(batch_w, sub, cfg, args.stream,
+                                      flow_variables=flow_params)
             metrics = {}
             for name, step_fn in steps.items():
                 states[name], metrics[name] = step_fn(states[name],
@@ -675,6 +697,8 @@ def cmd_serve(args) -> int:
         for name, idx in ci.items():
             classes[idx] = name
 
+    if args.algo == "spynet":
+        variables["flow"] = _spynet_params(args)
     server = ClipServer(model, variables, cfg, classes=classes,
                         num_windows=args.windows, topk=args.topk,
                         normalize=not args.raw,
@@ -715,9 +739,6 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("out_dir")
     cf.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
-    cf.add_argument("--spynet-checkpoint", default=None,
-                    help="weights for --algo spynet (default: bundled "
-                         "checkpoints/spynet_synthetic.msgpack)")
     cf.add_argument("--exact", action="store_true",
                     help="force the exact XLA gather warp instead of "
                          "the Pallas banded separable warp (bitwise "
@@ -739,7 +760,7 @@ def build_parser() -> argparse.ArgumentParser:
     xf.add_argument("out", help="output .npz path")
     xf.add_argument("--stream", choices=["rgb", "flow", "both"],
                     default="rgb")
-    xf.add_argument("--algo", choices=["tvl1", "farneback"],
+    xf.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
     xf.add_argument("--checkpoint", default=None)
     _add_model_args(xf, window=False)
@@ -752,7 +773,7 @@ def build_parser() -> argparse.ArgumentParser:
     cc = sub.add_parser("classify-clip",
                         help="two-stream classification of one clip")
     cc.add_argument("video")
-    cc.add_argument("--algo", choices=["tvl1", "farneback"],
+    cc.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
     cc.add_argument("--checkpoint", default=None)
     cc.add_argument("--class-index", default=None,
@@ -767,7 +788,7 @@ def build_parser() -> argparse.ArgumentParser:
         "serve",
         help="long-running classify server (JSON lines on stdin/stdout; "
              "compiles once, answers many)")
-    sv.add_argument("--algo", choices=["tvl1", "farneback"],
+    sv.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
     sv.add_argument("--checkpoint", default=None)
     sv.add_argument("--class-index", default=None,
@@ -792,7 +813,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--videos", required=True)
     ev.add_argument("--annotations", required=True)
     ev.add_argument("--split", type=int, default=1)
-    ev.add_argument("--algo", choices=["tvl1", "farneback"],
+    ev.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1")
     ev.add_argument("--checkpoint", default=None)
     _add_model_args(ev)
@@ -818,7 +839,7 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--stream", choices=["rgb", "flow", "both"],
                     default="both",
                     help="which stream(s) to train")
-    tr.add_argument("--algo", choices=["tvl1", "farneback"],
+    tr.add_argument("--algo", choices=["tvl1", "farneback", "spynet"],
                     default="tvl1",
                     help="flow algorithm feeding the temporal stream")
     _add_model_args(tr)

@@ -103,7 +103,9 @@ class PipelineConfig:
     preprocess: PreprocessConfig = PreprocessConfig()
     farneback: FarnebackConfig = FarnebackConfig()
     tvl1: TVL1Config = TVL1Config()
-    flow_algo: str = "tvl1"     # "tvl1" | "farneback"
+    # "tvl1" | "farneback" | "spynet" (learned flow: the pipeline then
+    # needs SpyNet params as variables["flow"], see runtime/pipeline).
+    flow_algo: str = "tvl1"
     batch_size: int = 32
     num_classes: int = 101      # UCF101
     # Late-fusion weights (spatial, temporal); 1:1.5 is the classic choice.
@@ -118,5 +120,5 @@ class PipelineConfig:
     exact_warp: bool = False
 
     def __post_init__(self):
-        if self.flow_algo not in ("tvl1", "farneback"):
+        if self.flow_algo not in ("tvl1", "farneback", "spynet"):
             raise ValueError(f"unknown flow_algo {self.flow_algo}")

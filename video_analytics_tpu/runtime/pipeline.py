@@ -25,11 +25,30 @@ from video_analytics_tpu.models.two_stream import TwoStreamModel
 from video_analytics_tpu.ops import preprocess as pp
 
 
+def _spynet_flow(prev: jax.Array, nxt: jax.Array,
+                 flow_variables) -> jax.Array:
+    """Learned flow inside the fused pipelines: SpyNet (models/spynet —
+    MXU-resident convs, the TPU-first flow family) applied with the
+    params the caller carries as variables["flow"] (loaded from the
+    bundled or a user checkpoint; never part of the two-stream
+    msgpack)."""
+    if flow_variables is None:
+        raise ValueError(
+            'flow_algo="spynet" needs SpyNet params: attach them as '
+            'variables["flow"] (CLI: --algo spynet loads '
+            "--spynet-checkpoint or the bundled weights)")
+    from video_analytics_tpu.models.spynet import SpyNet
+    return SpyNet(levels=4).apply(flow_variables, prev, nxt)
+
+
 def compute_flow(gray_pairs_prev: jax.Array, gray_pairs_next: jax.Array,
-                 cfg: PipelineConfig) -> jax.Array:
+                 cfg: PipelineConfig, flow_variables=None) -> jax.Array:
     """(B, H, W) gray pairs → (B, H, W, 2) flow with the configured
     algorithm."""
     use_pallas = False if cfg.exact_warp else None
+    if cfg.flow_algo == "spynet":
+        return _spynet_flow(gray_pairs_prev, gray_pairs_next,
+                            flow_variables)
     if cfg.flow_algo == "tvl1":
         return tvl1(gray_pairs_prev, gray_pairs_next, cfg.tvl1,
                     use_pallas=use_pallas)
@@ -38,7 +57,8 @@ def compute_flow(gray_pairs_prev: jax.Array, gray_pairs_next: jax.Array,
 
 
 def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig,
-                          bounded: bool = False) -> jax.Array:
+                          bounded: bool = False,
+                          flow_variables=None) -> jax.Array:
     """(T, H, W) gray sequence → (T-1, H, W, 2) consecutive-pair flow.
 
     Same result as ``compute_flow(gray[:-1], gray[1:], cfg)``; for
@@ -58,6 +78,8 @@ def compute_flow_sequence(gray: jax.Array, cfg: PipelineConfig,
     tests/test_pipeline.py::test_bounded_envelope_feature_ab).  The
     compute-flow CLI surface keeps bounded=False."""
     use_pallas = False if cfg.exact_warp else None
+    if cfg.flow_algo == "spynet":
+        return _spynet_flow(gray[:-1], gray[1:], flow_variables)
     if cfg.flow_algo == "tvl1":
         return tvl1(gray[:-1], gray[1:], cfg.tvl1, use_pallas=use_pallas)
     from video_analytics_tpu.flow.farneback import farneback_sequence
@@ -86,13 +108,15 @@ def rgb_features(frames: jax.Array, variables,
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def flow_features(frames: jax.Array, variables,
-                  model, cfg: PipelineConfig) -> jax.Array:
+                  model, cfg: PipelineConfig,
+                  flow_variables=None) -> jax.Array:
     """(T, H, W, 3) uint8 → (N, 512) flow-stream features: gray →
     crop → flow → stack → CNN, all one program, flow HBM-resident."""
     x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
                                     cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
-    flow = compute_flow_sequence(gray, cfg, bounded=True)
+    flow = compute_flow_sequence(gray, cfg, bounded=True,
+                                 flow_variables=flow_variables)
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
     stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
     return model.apply(variables, stacks, return_features=True)
@@ -104,7 +128,10 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
                     cfg: PipelineConfig) -> jax.Array:
     """One clip window (T, H, W, 3) uint8 → fused class probs (C,).
 
-    The complete two-stream classifier as a single XLA program.
+    The complete two-stream classifier as a single XLA program.  With
+    flow_algo="spynet" the (frozen) SpyNet params ride along as
+    variables["flow"] — learned flow feeding the temporal stream, all
+    still one program.
     """
     rgb = pp.preprocess_clip(frames, cfg.preprocess)
     s_logits = model.spatial_logits(variables, rgb)
@@ -112,7 +139,8 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
     x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
                                     cfg.preprocess.crop)
     gray = pp.rgb_to_gray(x)
-    flow = compute_flow_sequence(gray, cfg, bounded=True)
+    flow = compute_flow_sequence(gray, cfg, bounded=True,
+                                 flow_variables=variables.get("flow"))
     stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
     stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
     t_logits = model.temporal_logits(variables, stacks)

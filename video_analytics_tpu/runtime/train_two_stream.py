@@ -44,13 +44,17 @@ def train_window_len(cfg: PipelineConfig) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stream"))
 def build_examples(windows: jax.Array, key: jax.Array,
-                   cfg: PipelineConfig, stream: str) -> Dict[str, jax.Array]:
+                   cfg: PipelineConfig, stream: str,
+                   flow_variables=None) -> Dict[str, jax.Array]:
     """(B, T, H, W, 3) uint8 frame windows → per-stream training inputs.
 
     Returns {"rgb": (B, c, c, 3)} and/or {"flow": (B, c, c, 2L)} with
     c = cfg.preprocess.crop and L = cfg.preprocess.flow_stack (requires
     T >= L + 1).  The random crop/flip is shared across a window's
     frames so the flow sees a temporally coherent crop.
+    flow_variables carries (frozen) SpyNet params when
+    cfg.flow_algo == "spynet" — the flow STREAM trains on learned flow
+    while the flow NET itself stays fixed.
     """
     B, T = windows.shape[:2]
     L = cfg.preprocess.flow_stack
@@ -78,7 +82,8 @@ def build_examples(windows: jax.Array, key: jax.Array,
         c = gray.shape[-1]
         prev = gray[:, :L].reshape(B * L, *gray.shape[2:])
         nxt = gray[:, 1:L + 1].reshape(B * L, *gray.shape[2:])
-        flow = compute_flow(prev, nxt, cfg)           # (B*L, c, c, 2)
+        flow = compute_flow(prev, nxt, cfg,           # (B*L, c, c, 2)
+                            flow_variables=flow_variables)
         flow = flow.reshape(B, L, c, c, 2)
         # (B, c, c, L, 2) → channels ordered [u0,v0,u1,v1,...], matching
         # ops.preprocess.stack_flow_windows.
