@@ -183,17 +183,16 @@ def measure_tvl1(frames):
     return 32 / best
 
 
-def measure_tvl1_1080p(batch: int = 4):
+def measure_tvl1_1080p(batch: int = 8):
     """Native-resolution 1080p TV-L1 via the row-banded chunked Pallas
     solver (VERDICT r1 #2; BASELINE config #5 resolution class).
 
-    Throughput is measured at a small PAIR BATCH, matching how the
-    real surface consumes this path (`compute-flow` dispatches
-    --batch 8 pairs per executable by default): a 1080p dispatch
-    through the dev tunnel costs ~28ms of enqueue/fetch RTT against
-    ~93ms of device time, so per-pair dispatching understates the
-    sustained rate by ~25% (measured r3: 8.4 pairs/s at B=1, 9.5 at
-    B=4)."""
+    Throughput is measured at the PAIR BATCH the real surface uses
+    (`compute-flow` dispatches --batch 8 pairs per executable by
+    default): a 1080p dispatch through the dev tunnel costs ~28ms of
+    enqueue/fetch RTT against ~93ms of device time per pair, so
+    per-pair dispatching understates the sustained rate (fresh-process
+    probe, r3: 8.4 pairs/s at B=1, 9.5 at B=4)."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -455,7 +454,11 @@ def main():
         with open(os.path.join(REPO, "bench", "results",
                                "metrics.jsonl")) as f:
             for ln in f:                        # chronological
-                rec = json.loads(ln)
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue   # truncated/hand-edited line: skip, don't
+                               # lose the whole run at the final print
                 past = rec.get("cpu_reference_fps")
                 if past and CPU_FPS_BAND[0] <= past <= CPU_FPS_BAND[1]:
                     cpu_hist.append(float(past))

@@ -28,22 +28,28 @@ def test_host_normalize_square_shapes():
 def test_host_normalize_square_crop_parity():
     """crop(normalized) must select the same pixel region as the device
     resize_short_center_crop of the raw frames — uint8 rounding at the
-    intermediate is the only permitted delta."""
-    import cv2
+    intermediate is the only permitted delta.  Geometries include the
+    rounding-parity traps (long−short odd, (short−crop)/2 odd) where a
+    naive centred host offset lands 1px off the direct path."""
     import jax.numpy as jnp
     from video_analytics_tpu.ops.preprocess import resize_short_center_crop
 
     rng = np.random.default_rng(3)
-    short, crop = 64, 56
-    for h, w in [(120, 161), (90, 73), (64, 200)]:
-        raw = cv2.GaussianBlur(
-            rng.uniform(0, 255, (h, w, 3)).astype(np.float32), (7, 7), 0
-        ).astype(np.uint8)[None]
-        direct = np.asarray(resize_short_center_crop(
-            jnp.asarray(raw), short, crop))
-        via_norm = np.asarray(resize_short_center_crop(
-            jnp.asarray(host_normalize_square(raw, short)), short, crop))
-        assert np.abs(direct - via_norm).max() < 2.0, (h, w)
+    # Sharp noise content: the normalised path's second device resize
+    # is an identity, so the only legitimate delta is the <=0.5 uint8
+    # rounding at the intermediate — while a 1px region shift shows up
+    # as O(100) deltas (the naive centred offset fails exactly the
+    # (64, 58) / (64, 55) parity cases below at max delta >200).
+    for short, crop in [(64, 56), (64, 58), (64, 55)]:
+        for h, w in [(120, 161), (90, 73), (64, 200), (64, 157)]:
+            raw = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+            direct = np.asarray(resize_short_center_crop(
+                jnp.asarray(raw), short, crop))
+            via_norm = np.asarray(resize_short_center_crop(
+                jnp.asarray(host_normalize_square(raw, short, crop=crop)),
+                short, crop))
+            assert np.abs(direct - via_norm).max() < 1.0, (short, crop,
+                                                           h, w)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +67,7 @@ def server(tiny_clip):
 def test_serve_classify_and_protocol(server, tiny_clip):
     # warmup compiles the same executable real requests use
     assert server.warmup() > 0.0
+    served_before = server.served
 
     resp = server.handle_line(json.dumps({"path": tiny_clip, "id": 42}))
     assert resp["id"] == 42 and resp["path"] == tiny_clip
@@ -73,9 +80,10 @@ def test_serve_classify_and_protocol(server, tiny_clip):
     resp = server.handle_line(json.dumps({"path": tiny_clip, "topk": 1}))
     assert len(resp["topk"]) == 1
 
-    # ping reports liveness + served count
+    # ping reports liveness + served count (delta, not absolute: the
+    # module-scoped server accumulates across tests in any order)
     resp = server.handle_line(json.dumps({"cmd": "ping"}))
-    assert resp["ok"] and resp["served"] == 2
+    assert resp["ok"] and resp["served"] == served_before + 2
 
 
 def test_serve_failure_containment(server, tiny_clip):

@@ -145,6 +145,19 @@ def _flow_configs(args):
     return FarnebackConfig(**fb_kw), TVL1Config(**pick(tv_map))
 
 
+def _load_class_names(class_index: Optional[str]
+                      ) -> Optional[List[str]]:
+    """classInd.txt → id-ordered name list (None without a file)."""
+    if not class_index:
+        return None
+    from video_analytics_tpu.io.dataset import read_class_index
+    ci = read_class_index(class_index)
+    classes: List[str] = [None] * len(ci)
+    for name, idx in ci.items():
+        classes[idx] = name
+    return classes
+
+
 def _spynet_params(args):
     """Load SpyNet params for --algo spynet (the user's
     --spynet-checkpoint or the bundled synthetic-trained weights);
@@ -349,13 +362,7 @@ def cmd_classify_clip(args) -> int:
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
         arch=args.arch)
 
-    classes: Optional[List[str]] = None
-    if args.class_index:
-        from video_analytics_tpu.io.dataset import read_class_index
-        ci = read_class_index(args.class_index)
-        classes = [None] * len(ci)
-        for name, idx in ci.items():
-            classes[idx] = name
+    classes = _load_class_names(args.class_index)
 
     if args.algo == "spynet":
         variables["flow"] = _spynet_params(args)
@@ -689,13 +696,7 @@ def cmd_serve(args) -> int:
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
         arch=args.arch)
 
-    classes: Optional[List[str]] = None
-    if args.class_index:
-        from video_analytics_tpu.io.dataset import read_class_index
-        ci = read_class_index(args.class_index)
-        classes = [None] * len(ci)
-        for name, idx in ci.items():
-            classes[idx] = name
+    classes = _load_class_names(args.class_index)
 
     if args.algo == "spynet":
         variables["flow"] = _spynet_params(args)

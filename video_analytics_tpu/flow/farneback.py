@@ -117,6 +117,48 @@ def _border_attenuation(h: int, w: int) -> jax.Array:
     return jnp.asarray(_border_attenuation_np(h, w))
 
 
+def _normal_equations(r0, r1w, dx, dy, inb, h, w):
+    """The shared cv2-parity core of update_matrices{,_cf}: per-pixel
+    normal-equation entries from the two images' poly planes (`r0`,
+    `r1w` are 5-tuples of (B, H, W) planes) — OOB branch, border
+    attenuation and the G/h products, returned as 5 planes.  Kept in
+    ONE place because the 0.5/0.25 factors and the OOB fallback were
+    derived empirically to bit-level cv2 parity; layout variants must
+    not be able to diverge."""
+    a11 = jnp.where(inb, (r0[2] + r1w[2]) * 0.5, r0[2])
+    a22 = jnp.where(inb, (r0[3] + r1w[3]) * 0.5, r0[3])
+    a12 = jnp.where(inb, (r0[4] + r1w[4]) * 0.25, r0[4] * 0.5)
+    b1w = jnp.where(inb, r1w[0], 0.0)
+    b2w = jnp.where(inb, r1w[1], 0.0)
+    dbx = (r0[0] - b1w) * 0.5 + a11 * dx + a12 * dy
+    dby = (r0[1] - b2w) * 0.5 + a12 * dx + a22 * dy
+
+    # cv2-style border attenuation: entries within 5px of the frame are
+    # down-weighted so the window average trusts interior pixels more.
+    att = _border_attenuation(h, w)[None]
+    a11, a22, a12 = a11 * att, a22 * att, a12 * att
+    dbx, dby = dbx * att, dby * att
+
+    g11 = a11 * a11 + a12 * a12
+    g12 = (a11 + a22) * a12
+    g22 = a22 * a22 + a12 * a12
+    h1 = a11 * dbx + a12 * dby
+    h2 = a12 * dbx + a22 * dby
+    return g11, g12, g22, h1, h2
+
+
+def _oob_mask(dx, dy, h, w):
+    """cv2's FarnebackUpdateMatrices interior test: floor(p + flow)
+    must stay inside [0, size-2] on both axes (which excludes the
+    exact last row/column even at zero flow)."""
+    B = dx.shape[0]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (B, h, w), 2)
+    x1 = jnp.floor(xx + dx)
+    y1 = jnp.floor(yy + dy)
+    return (x1 >= 0) & (x1 < w - 1) & (y1 >= 0) & (y1 < h - 1)
+
+
 def update_matrices(R0: jax.Array, R1: jax.Array,
                     flow: jax.Array,
                     use_pallas: Optional[bool] = None,
@@ -153,33 +195,11 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
         xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
         R1w = bilinear_sample(R1, yy + dy, xx + dx)
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    x1 = jnp.floor(xx + dx)
-    y1 = jnp.floor(yy + dy)
-    inb = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
-
-    a11 = jnp.where(inb, (R0[..., 2] + R1w[..., 2]) * 0.5, R0[..., 2])
-    a22 = jnp.where(inb, (R0[..., 3] + R1w[..., 3]) * 0.5, R0[..., 3])
-    a12 = jnp.where(inb, (R0[..., 4] + R1w[..., 4]) * 0.25,
-                    R0[..., 4] * 0.5)
-    b1w = jnp.where(inb, R1w[..., 0], 0.0)
-    b2w = jnp.where(inb, R1w[..., 1], 0.0)
-    dbx = (R0[..., 0] - b1w) * 0.5 + a11 * dx + a12 * dy
-    dby = (R0[..., 1] - b2w) * 0.5 + a12 * dx + a22 * dy
-
-    # cv2-style border attenuation: entries within 5px of the frame are
-    # down-weighted so the window average trusts interior pixels more.
-    att = _border_attenuation(H, W)[None]
-    a11, a22, a12 = a11 * att, a22 * att, a12 * att
-    dbx, dby = dbx * att, dby * att
-
-    g11 = a11 * a11 + a12 * a12
-    g12 = (a11 + a22) * a12
-    g22 = a22 * a22 + a12 * a12
-    h1 = a11 * dbx + a12 * dby
-    h2 = a12 * dbx + a22 * dby
-    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+    inb = _oob_mask(dx, dy, H, W)
+    planes = _normal_equations(
+        tuple(R0[..., i] for i in range(5)),
+        tuple(R1w[..., i] for i in range(5)), dx, dy, inb, H, W)
+    return jnp.stack(planes, axis=-1)
 
 
 def update_matrices_cf(R0: jax.Array, R1: jax.Array,
@@ -196,32 +216,11 @@ def update_matrices_cf(R0: jax.Array, R1: jax.Array,
     B, _, H, W = R0.shape
     dx, dy = flow_cf[:, 0], flow_cf[:, 1]
     R1w = pallas_warp_cf(R1, dx, dy, r=band or DEFAULT_BAND)
-
-    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    x1 = jnp.floor(xx + dx)
-    y1 = jnp.floor(yy + dy)
-    inb = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
-
-    a11 = jnp.where(inb, (R0[:, 2] + R1w[:, 2]) * 0.5, R0[:, 2])
-    a22 = jnp.where(inb, (R0[:, 3] + R1w[:, 3]) * 0.5, R0[:, 3])
-    a12 = jnp.where(inb, (R0[:, 4] + R1w[:, 4]) * 0.25,
-                    R0[:, 4] * 0.5)
-    b1w = jnp.where(inb, R1w[:, 0], 0.0)
-    b2w = jnp.where(inb, R1w[:, 1], 0.0)
-    dbx = (R0[:, 0] - b1w) * 0.5 + a11 * dx + a12 * dy
-    dby = (R0[:, 1] - b2w) * 0.5 + a12 * dx + a22 * dy
-
-    att = _border_attenuation(H, W)[None]
-    a11, a22, a12 = a11 * att, a22 * att, a12 * att
-    dbx, dby = dbx * att, dby * att
-
-    g11 = a11 * a11 + a12 * a12
-    g12 = (a11 + a22) * a12
-    g22 = a22 * a22 + a12 * a12
-    h1 = a11 * dbx + a12 * dby
-    h2 = a12 * dbx + a22 * dby
-    return jnp.stack([g11, g12, g22, h1, h2], axis=1)
+    inb = _oob_mask(dx, dy, H, W)
+    planes = _normal_equations(
+        tuple(R0[:, i] for i in range(5)),
+        tuple(R1w[:, i] for i in range(5)), dx, dy, inb, H, W)
+    return jnp.stack(planes, axis=1)
 
 
 def _solve_flow(M: jax.Array) -> jax.Array:

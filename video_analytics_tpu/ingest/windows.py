@@ -9,7 +9,7 @@ result via streamed partial sums (SURVEY.md §5 long-context analogue).
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 
@@ -39,20 +39,28 @@ def sliding_windows(frames: np.ndarray, window: int,
         yield frames[s:s + window]
 
 
-def host_normalize_square(frames: np.ndarray, short: int) -> np.ndarray:
+def host_normalize_square(frames: np.ndarray, short: int,
+                          crop: Optional[int] = None) -> np.ndarray:
     """(T, H, W, 3) uint8 → (T, short, short, 3): resize the short side
     to `short` (up OR down, cv2 INTER_LINEAR — device-resize parity)
     and centre-crop the long side to `short`.
 
     This is the serving-process shape normaliser: heterogeneous input
     resolutions all map to ONE static shape, so the long-running server
-    compiles a single executable (runtime/serve.py).  Centre crops
-    compose — crop(short→crop) of this result selects exactly the
-    pixel region the device's resize_short_center_crop would take from
-    the raw frames (offsets differ by a constant under either rounding
-    parity); the only numerics delta vs the raw path is the uint8
-    rounding at this intermediate, same as the host_resize_short lever
-    evaluate_batched already uses."""
+    compiles a single executable (runtime/serve.py).
+
+    `crop` is the crop size the DEVICE pipeline will subsequently take
+    (preprocess.resize_short_center_crop): with it, this function's
+    offset is derived as (device offset on the raw resize) − (device
+    offset on the short×short result), so the two centre crops compose
+    EXACTLY for every geometry.  Both sides use banker's
+    int(round(...)), under which the naive round((long−short)/2) can
+    land 1px off the direct path for some parities of (long−short,
+    short−crop) — e.g. long−short odd with (short−crop)/2 odd.
+    Without `crop` the naive centred offset is used (≤1px shift).  The
+    only numerics delta vs the raw path is the uint8 rounding at this
+    intermediate, same as the host_resize_short lever evaluate_batched
+    already uses."""
     import cv2
     h, w = frames.shape[1:3]
     if h <= w:
@@ -63,8 +71,16 @@ def host_normalize_square(frames: np.ndarray, short: int) -> np.ndarray:
         frames = np.stack([
             cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
             for f in frames])
-    top = int(round((nh - short) / 2.0))
-    left = int(round((nw - short) / 2.0))
+
+    def offset(long_side: int) -> int:
+        if crop is not None:
+            o = (int(round((long_side - crop) / 2.0))
+                 - int(round((short - crop) / 2.0)))
+        else:
+            o = int(round((long_side - short) / 2.0))
+        return min(max(o, 0), long_side - short)
+
+    top, left = offset(nh), offset(nw)
     return frames[:, top:top + short, left:left + short]
 
 

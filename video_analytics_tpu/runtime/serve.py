@@ -77,7 +77,8 @@ class ClipServer:
         if self.normalize:
             from video_analytics_tpu.ingest import host_normalize_square
             frames = host_normalize_square(
-                frames, self.cfg.preprocess.resize_short)
+                frames, self.cfg.preprocess.resize_short,
+                crop=self.cfg.preprocess.crop)
         t, win, n = len(frames), self.window, self.num_windows
         if n <= 1 or t <= win:
             wins = frames[sample_window(t, win)][None]
