@@ -88,6 +88,39 @@ def test_classify_clip_cli_spynet(tiny_clip, capsys):
     assert 0 <= res["top1"] < 5 and len(res["topk"]) == 2
 
 
+def test_evaluate_batched_spynet(tmp_path, spynet_vars):
+    """Learned flow through the THROUGHPUT eval path (threaded decode →
+    prefetch → batched fused classify), sharded over the fake mesh:
+    the spynet params replicate with the rest of the variables and the
+    batched result matches the serial driver exactly."""
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.parallel.mesh import make_mesh
+    from video_analytics_tpu.runtime.evaluate import (
+        evaluate, evaluate_batched)
+
+    cfg = _cfg()
+    model = TwoStreamModel.create(num_classes=5, flow_stack=3)
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     input_hw=(56, 56))
+    variables["flow"] = spynet_vars
+    records = []
+    for i in range(4):
+        p = str(tmp_path / f"c{i}.mp4")
+        synthesize_video(
+            p, moving_square_frames(10, 64, 80, step=(2 - i % 3, 1)),
+            fps=10)
+        records.append(ClipRecord(path=p, label=i % 3, class_name=str(i)))
+
+    serial = evaluate(records, variables, model, cfg, num_windows=2)
+    batched = evaluate_batched(records, variables, model, cfg,
+                               batch_clips=4, num_windows=2,
+                               mesh=make_mesh())
+    assert batched.total == serial.total == 4
+    assert batched.correct == serial.correct and batched.failed == 0
+
+
 def test_build_examples_spynet(spynet_vars):
     from video_analytics_tpu.runtime.train_two_stream import (
         build_examples)
