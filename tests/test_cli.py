@@ -50,6 +50,24 @@ def test_compute_flow_jpg_quantized(tmp_path, tiny_clip, capsys):
     assert os.path.exists(os.path.join(out_dir, "flow_y_000002.jpg"))
 
 
+def test_compute_flow_viz(tmp_path, tiny_clip, capsys):
+    """--format viz renders HSV color-wheel PNGs; the moving square
+    (known rightward-dominant motion) must stand out from the static
+    background as saturated, non-black pixels."""
+    import cv2
+    out_dir = str(tmp_path / "flowviz")
+    rc, res = run_cli(capsys, [
+        "compute-flow", tiny_clip, out_dir, "--algo", "farneback",
+        "--format", "viz", "--max-frames", "3", "--bound", "4"])
+    assert rc == 0 and res["flows"] == 2
+    img = cv2.imread(os.path.join(out_dir, "flow_viz_000001.png"))
+    assert img is not None and img.shape == (120, 160, 3)
+    sq = img[12:30, 12:30].astype(np.float32)
+    bg = img[60:100, 80:140].astype(np.float32)
+    # magnitude (HSV value) is much brighter on the moving square
+    assert sq.max(axis=-1).mean() > bg.max(axis=-1).mean() + 50
+
+
 def test_compute_flow_single_frame_error(tmp_path, tiny_clip, capsys):
     rc = main(["compute-flow", tiny_clip, str(tmp_path / "x"),
                "--max-frames", "1"])

@@ -131,8 +131,9 @@ def test_banded_solver_bitexact_vs_monolithic(rng):
             (TVL1Config(inner_iterations=5, outer_iterations=4,
                         epsilon=0.05, median_filtering=5), 24, 2),
             # chunk == K: the whole round (median + all inner
-            # iterations) in ONE kernel dispatch — the config
-            # banded_params picks at 1080p
+            # iterations) in ONE kernel dispatch (banded_params picks
+            # 2-dispatch rounds at 1080p since the r3 sweep recalibration
+            # — the first case above covers chunk < K with a remainder)
             (TVL1Config(inner_iterations=6, outer_iterations=2,
                         epsilon=1e-6, median_filtering=5), 24, 6),
     ]:

@@ -104,6 +104,12 @@ def cmd_compute_flow(args) -> int:
             if args.format == "flo":
                 write_flo(os.path.join(args.out_dir, f"flow_{idx:06d}.flo"),
                           f)
+            elif args.format == "viz":
+                from video_analytics_tpu.io.flowio import flow_to_color
+                rgb = flow_to_color(f, max_mag=args.bound)
+                cv2.imwrite(os.path.join(
+                    args.out_dir, f"flow_viz_{idx:06d}.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
             else:
                 q = quantize_flow(f, bound=args.bound)
                 cv2.imwrite(os.path.join(
@@ -748,8 +754,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compute flow at the exact native resolution "
                          "instead of padding to the 64px shape ladder "
                          "(slower first-run compile per new size)")
-    cf.add_argument("--format", choices=["flo", "jpg"], default="flo")
-    cf.add_argument("--bound", type=float, default=20.0)
+    cf.add_argument("--format", choices=["flo", "jpg", "viz"],
+                    default="flo",
+                    help="flo = raw .flo files; jpg = quantized uint8 "
+                         "x/y pairs (two-stream storage convention); "
+                         "viz = HSV color-wheel PNGs for inspection")
+    cf.add_argument("--bound", type=float, default=20.0,
+                    help="jpg quantization range / viz magnitude "
+                         "saturation, in px")
     cf.add_argument("--batch", type=int, default=8)
     cf.add_argument("--max-frames", type=int, default=None)
     _add_flow_args(cf)

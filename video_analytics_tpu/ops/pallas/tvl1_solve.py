@@ -498,7 +498,13 @@ def _run_chunk(state6, consts4, act, cfg: TVL1Config, iters: int,
 # rows.  Both pools must fit the v5e's 128MB physical VMEM with
 # margin; the scoped limit is raised via CompilerParams.
 _BANDED_SCOPED_BYTES = 100 * 1024 * 1024
-_BANDED_TOTAL_BYTES = 90 * 1024 * 1024
+# The row model below ((10 + TEMP)·n_blk + 6·band rows of 4·Wp bytes)
+# underestimates Mosaic's actual scoped-VMEM stack by up to ~1.15×
+# (measured r3 on v5e: (691,1229) band=352/chunk=20 modeled 88.4MB but
+# compiled to a 100.61MiB stack → OOM at the 100MB scoped limit, while
+# 1080p band=216/chunk=20 modeled 86.9MB compiled and ran at B=1 and
+# B=4, bounding the factor at ≤1.151).  Budget = scoped limit / 1.15.
+_BANDED_TOTAL_BYTES = int(_BANDED_SCOPED_BYTES / 1.15)
 _BANDED_TEMP_PLANES = 30
 
 
@@ -510,10 +516,16 @@ def banded_params(h: int, w: int,
     Chunk = iterations per kernel dispatch; halo = chunk + 4 rounded up
     to 8 (iteration dependency radius + median radius + DMA sublane
     alignment).  Cost model per outer round: redundant halo compute
-    (the halo rows iterate too) + HBM window traffic at ~half the cost
-    of a compute row-iteration; larger chunks amortise dispatches and
-    traffic against more halo compute — at 1080p the optimum is the
-    whole round in ONE dispatch (chunk = inner_iterations).
+    (the halo rows iterate too) + HBM window traffic at 0.15× the cost
+    of a compute row-iteration.  The traffic coefficient is CALIBRATED
+    against a measured 1080p sweep of the DMA kernel (r3, real v5e-1:
+    band=216/chunk=20 24.76 ms, 216/15 25.10, 216/12 25.38, 216/10
+    25.32, 192/30 27.30, 184/30 27.85 per warp-solve at B=1; same
+    ordering at B=4) — t=0.15 reproduces both the ordering and the
+    27.85/24.76 ratio, while the previous t=0.5 wrongly favoured
+    one-dispatch rounds (chunk=K) whose bigger halo costs 6 bands
+    instead of 5.  Ties (same band/halo/chunk-count) break toward the
+    larger chunk: its trailing chunk is shorter, measured ~1% faster.
     """
     wp = -(-w // 128) * 128
     row_bytes = 4 * wp
@@ -537,9 +549,9 @@ def banded_params(h: int, w: int,
         n_blk = band + 2 * halo
         compute = sum(n_blk * min(chunk, K - c0)
                       for c0 in range(0, K, chunk))
-        traffic = n_chunks * (10 * n_blk + 6 * band) * 0.5
+        traffic = n_chunks * (10 * n_blk + 6 * band) * 0.15
         cost = n_bands * (compute + traffic)
-        if best is None or cost < best[0]:
+        if best is None or cost <= best[0]:
             best = (cost, band, chunk)
     if best is None:
         return None
