@@ -126,8 +126,8 @@ def measure_tpu(frames, flow_algo="farneback"):
             frames_u8, cfg.preprocess.resize_short, cfg.preprocess.crop)
         gray = pp.rgb_to_gray(x)
         flow = compute_flow_sequence(gray, cfg, bounded=True)
-        stacks = pp.stack_flow_windows(flow, FLOW_STACK)
-        stacks = pp.normalize_flow_stack(stacks)
+        stacks = pp.stacked_flow_input(flow, FLOW_STACK,
+                                       dtype=jnp.bfloat16)
         f_feats = model.temporal.apply(variables["temporal"], stacks,
                                        return_features=True)
         rgb = pp.normalize(x, cfg.preprocess.mean, cfg.preprocess.std)

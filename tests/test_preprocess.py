@@ -109,6 +109,23 @@ def test_normalize_flow_stack():
     np.testing.assert_allclose(out, [[-1.0, -1.0, 0.0, 0.5, 1.0]])
 
 
+def test_stacked_flow_input_bitexact(rng):
+    """The normalize/cast-before-stack fusion is bitwise identical to
+    the stack-then-normalize-then-cast chain the CNN used to see
+    (per-element ops with constants commute with the stacking copy)."""
+    flow = jnp.asarray(rng.normal(scale=30.0, size=(12, 8, 9, 2))
+                       .astype(np.float32))
+    for dtype in (None, jnp.bfloat16):
+        fused = ops.stacked_flow_input(flow, stack=10, bound=20.0,
+                                       dtype=dtype)
+        ref = ops.normalize_flow_stack(
+            ops.stack_flow_windows(flow, stack=10), bound=20.0)
+        if dtype is not None:
+            ref = ref.astype(dtype)
+        assert fused.dtype == ref.dtype
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_fused_resize_crop_matches_two_op_chain(rng):
     """resize_short_center_crop ≡ center_crop∘resize_short_side at
     several geometries (fp weight noise only)."""

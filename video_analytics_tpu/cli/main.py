@@ -288,9 +288,6 @@ def cmd_extract_features(args) -> int:
     from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.runtime.pipeline import (
         rgb_features, flow_features)
-    from video_analytics_tpu.ops import (
-        normalize_flow_stack, stack_flow_windows)
-
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
@@ -324,8 +321,10 @@ def cmd_extract_features(args) -> int:
         f = resize_short_side(f, cfg.preprocess.resize_short)
         f = f * jnp.asarray([f.shape[2] / w, f.shape[1] / h], jnp.float32)
         f = center_crop(f, cfg.preprocess.crop)
-        stacks = stack_flow_windows(f, cfg.preprocess.flow_stack)
-        stacks = normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+        from video_analytics_tpu.ops.preprocess import stacked_flow_input
+        stacks = stacked_flow_input(
+            f, cfg.preprocess.flow_stack, cfg.preprocess.flow_bound,
+            dtype=getattr(model.temporal, "dtype", None))
         out["flow"] = np.asarray(jax.jit(
             lambda s: model.temporal.apply(
                 variables["temporal"], s, return_features=True))(stacks))

@@ -9,4 +9,5 @@ from video_analytics_tpu.ops.preprocess import (  # noqa: F401
     rgb_to_gray,
     stack_flow_windows,
     normalize_flow_stack,
+    stacked_flow_input,
 )

@@ -117,8 +117,9 @@ def flow_features(frames: jax.Array, variables,
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True,
                                  flow_variables=flow_variables)
-    stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
-    stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+    stacks = pp.stacked_flow_input(flow, cfg.preprocess.flow_stack,
+                                   cfg.preprocess.flow_bound,
+                                   dtype=getattr(model, "dtype", None))
     return model.apply(variables, stacks, return_features=True)
 
 
@@ -141,8 +142,9 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True,
                                  flow_variables=variables.get("flow"))
-    stacks = pp.stack_flow_windows(flow, cfg.preprocess.flow_stack)
-    stacks = pp.normalize_flow_stack(stacks, cfg.preprocess.flow_bound)
+    stacks = pp.stacked_flow_input(
+        flow, cfg.preprocess.flow_stack, cfg.preprocess.flow_bound,
+        dtype=getattr(model.temporal, "dtype", None))
     t_logits = model.temporal_logits(variables, stacks)
 
     return model.fuse(s_logits, t_logits)
