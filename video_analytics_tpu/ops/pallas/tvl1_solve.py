@@ -526,6 +526,8 @@ def banded_params(h: int, w: int,
     one-dispatch rounds (chunk=K) whose bigger halo costs 6 bands
     instead of 5.  Ties (same band/halo/chunk-count) break toward the
     larger chunk: its trailing chunk is shorter, measured ~1% faster.
+    Cross-validated at 864×1536 (B=4 sweep): the model's pick
+    (288, 12) timed 46.82 ms vs 46.26 best (288, 10) — within 1.2%.
     """
     wp = -(-w // 128) * 128
     row_bytes = 4 * wp
