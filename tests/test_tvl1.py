@@ -147,6 +147,33 @@ def test_banded_solver_bitexact_vs_monolithic(rng):
                                    atol=1e-6, rtol=0)
 
 
+def test_banded_params_vmem_envelope():
+    """Every (band, chunk) the cost model picks must fit the measured
+    scoped-VMEM envelope: modeled rows × 1.15 calibration factor ≤ the
+    100MB scoped limit (r3: a pick modeled at 88.4MB compiled to a
+    100.61MiB Mosaic stack and OOMed — this pins the invariant so
+    future cost-model retunes can't reintroduce it)."""
+    from video_analytics_tpu.ops.pallas.tvl1_solve import (
+        banded_params, _BANDED_SCOPED_BYTES, _BANDED_TEMP_PLANES)
+    cfg = TVL1Config()
+    shapes = [(1080, 1920), (864, 1536), (691, 1229), (553, 983),
+              (442, 786), (512, 512), (720, 1280), (2160, 3840),
+              (601, 333), (1080, 607)]
+    picked = 0
+    for h, w in shapes:
+        bp = banded_params(h, w, cfg)
+        if bp is None:
+            continue
+        picked += 1
+        band, chunk = bp
+        halo = -(-(chunk + 4) // 8) * 8
+        assert band >= halo and band % 8 == 0
+        wp = -(-w // 128) * 128
+        rows = (10 + _BANDED_TEMP_PLANES) * (band + 2 * halo) + 6 * band
+        assert rows * 4 * wp * 1.15 <= _BANDED_SCOPED_BYTES, (h, w, bp)
+    assert picked >= 8    # the model must band all the big shapes
+
+
 def test_banded_solver_adaptive(rng):
     """Convergence-adaptive banding (VERDICT r2 next #5).
 
