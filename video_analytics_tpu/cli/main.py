@@ -54,7 +54,7 @@ def cmd_compute_flow(args) -> int:
     from video_analytics_tpu.config import (
         FarnebackConfig, PipelineConfig, TVL1Config)
     from video_analytics_tpu.io.flowio import (
-        quantize_flow, write_flo)
+        flow_to_color, quantize_flow, write_flo)
     from video_analytics_tpu.ops import rgb_to_gray
     from video_analytics_tpu.runtime.pipeline import compute_flow
     import cv2
@@ -105,7 +105,6 @@ def cmd_compute_flow(args) -> int:
                 write_flo(os.path.join(args.out_dir, f"flow_{idx:06d}.flo"),
                           f)
             elif args.format == "viz":
-                from video_analytics_tpu.io.flowio import flow_to_color
                 rgb = flow_to_color(f, max_mag=args.bound)
                 cv2.imwrite(os.path.join(
                     args.out_dir, f"flow_viz_{idx:06d}.png"),
@@ -288,6 +287,7 @@ def cmd_extract_features(args) -> int:
     from video_analytics_tpu.config import PipelineConfig
     from video_analytics_tpu.runtime.pipeline import (
         rgb_features, flow_features)
+    from video_analytics_tpu.ops import stacked_flow_input
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
@@ -321,7 +321,6 @@ def cmd_extract_features(args) -> int:
         f = resize_short_side(f, cfg.preprocess.resize_short)
         f = f * jnp.asarray([f.shape[2] / w, f.shape[1] / h], jnp.float32)
         f = center_crop(f, cfg.preprocess.crop)
-        from video_analytics_tpu.ops.preprocess import stacked_flow_input
         stacks = stacked_flow_input(
             f, cfg.preprocess.flow_stack, cfg.preprocess.flow_bound,
             dtype=getattr(model.temporal, "dtype", None))

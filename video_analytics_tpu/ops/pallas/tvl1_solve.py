@@ -499,12 +499,17 @@ def _run_chunk(state6, consts4, act, cfg: TVL1Config, iters: int,
 # margin; the scoped limit is raised via CompilerParams.
 _BANDED_SCOPED_BYTES = 100 * 1024 * 1024
 # The row model below ((10 + TEMP)·n_blk + 6·band rows of 4·Wp bytes)
-# underestimates Mosaic's actual scoped-VMEM stack by up to ~1.15×
-# (measured r3 on v5e: (691,1229) band=352/chunk=20 modeled 88.4MB but
-# compiled to a 100.61MiB stack → OOM at the 100MB scoped limit, while
-# 1080p band=216/chunk=20 modeled 86.9MB compiled and ran at B=1 and
-# B=4, bounding the factor at ≤1.151).  Budget = scoped limit / 1.15.
-_BANDED_TOTAL_BYTES = int(_BANDED_SCOPED_BYTES / 1.15)
+# underestimates Mosaic's actual scoped-VMEM stack (measured r3 on
+# v5e: (691,1229) band=352/chunk=20 modeled 88.4MB but compiled to a
+# 100.61MiB stack → OOM at the 100MB scoped limit — factor 1.138 —
+# while 1080p band=216/chunk=20 modeled 86.84MiB compiled and ran at
+# B=1 and B=4, bounding its factor at ≤100/86.84 = 1.1515).  The
+# budget divides by that worst-case inferred bound, so every admitted
+# pick fits even at the most pessimistic factor the evidence allows;
+# a miss is a loud compile error (remote-helper HTTP 500), never
+# silent corruption.
+_BANDED_VMEM_FACTOR = 1.1515
+_BANDED_TOTAL_BYTES = int(_BANDED_SCOPED_BYTES / _BANDED_VMEM_FACTOR)
 _BANDED_TEMP_PLANES = 30
 
 
