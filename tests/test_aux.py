@@ -67,6 +67,39 @@ def test_multiwindow_average(tmp_path):
     np.testing.assert_allclose(p3, serial, atol=1e-5)
 
 
+def test_evaluate_batched_windowed_decode(tmp_path):
+    """On clips long enough that the snippet windows cover <60% of the
+    frames, evaluate_batched's loader seek-decodes ONLY the windows
+    (VideoReader.read_window) — the result must stay protocol-identical
+    to the serial per-clip driver, which decodes everything."""
+    import jax
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import (
+        evaluate, evaluate_batched)
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=0, iterations=1),
+                         window=12)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    records = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.mp4")
+        synthesize_video(p, moving_square_frames(42, 120, 160), fps=10)
+        records.append(ClipRecord(path=p, label=i % 3, class_name=str(i)))
+    for nw in (1, 2):
+        r1 = evaluate(records, variables, model, cfg, num_windows=nw)
+        r2 = evaluate_batched(records, variables, model, cfg,
+                              batch_clips=2, num_windows=nw)
+        assert r2.total == r1.total == 3
+        assert r2.failed == r1.failed == 0
+        assert r2.correct == r1.correct
+
+
 def test_host_resize_matches_device_resize(tmp_path):
     """Host-side pre-resize (ingest bandwidth lever) must be numerics-
     matched to the on-device resize_short_side."""

@@ -22,6 +22,32 @@ def test_video_roundtrip(tmp_path):
     assert err < 8.0, err
 
 
+def test_read_window_parity(tmp_path):
+    """Seek-decode of a window must be bit-identical to slicing the
+    full decode (the clips/sec lever: eval decodes only its snippet
+    windows), and the container's frame-count metadata must be exact
+    for our encoder (the windowed loader trusts it)."""
+    frames = moving_square_frames(num=40, h=64, w=80)
+    path = str(tmp_path / "clip.mp4")
+    synthesize_video(path, frames, fps=10.0)
+    with VideoReader(path) as r:
+        full = r.read_all()
+    assert full.shape[0] == 40
+    with VideoReader(path) as r:
+        assert r.frame_count == 40
+        # Forward seeks on one reader — the eval loader's access shape.
+        for start, count in [(0, 5), (12, 16), (17, 16), (35, 5)]:
+            win = r.read_window(start, count)
+            np.testing.assert_array_equal(win, full[start:start + count])
+    # Past-the-end window: loud IOError (the loader falls back).
+    with VideoReader(path) as r:
+        try:
+            r.read_window(30, 16)
+            assert False, "expected IOError for short window"
+        except IOError:
+            pass
+
+
 def test_frames_dir_roundtrip(tmp_path):
     frames = moving_square_frames(num=5, h=48, w=64)
     d = str(tmp_path / "frames")

@@ -68,6 +68,44 @@ class VideoReader:
             raise IOError(f"no frames decoded from {self.path}")
         return np.stack(frames)
 
+    def read_window(self, start: int, count: int) -> np.ndarray:
+        """Decode frames [start, start+count) → (count, H, W, 3) RGB.
+
+        Bit-identical to ``read_all()[start:start+count]`` but skips
+        the full-clip decode: a container seek positions the demuxer
+        (ffmpeg decodes forward from the nearest keyframe, frame-
+        accurate), with a ``grab()`` fast-skip fallback (demux+decode
+        without the BGR→RGB convert + copy) when the backend's seek
+        is unreliable for this container.  On the 1-core host the
+        snippet-eval protocol only consumes a window per clip, so
+        decoding just that window is the main clips/sec lever
+        (SURVEY.md §7 hard-part #5: host decode is the Amdahl term).
+        """
+        if start < 0 or count <= 0:
+            raise ValueError(f"bad window [{start}, {start}+{count})")
+        if start > 0:
+            seek_ok = self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            pos = int(self._cap.get(cv2.CAP_PROP_POS_FRAMES))
+            if not seek_ok or pos != start:
+                # Rewind and grab-skip: exact for every backend.
+                self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                for _ in range(start):
+                    if not self._cap.grab():
+                        raise IOError(
+                            f"could not skip to frame {start} "
+                            f"of {self.path}")
+        frames: List[np.ndarray] = []
+        for _ in range(count):
+            ok, bgr = self._cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        if len(frames) != count:
+            raise IOError(
+                f"short window [{start}, {start}+{count}) in "
+                f"{self.path}: got {len(frames)} frames")
+        return np.stack(frames)
+
     def close(self):
         self._cap.release()
 
@@ -80,6 +118,56 @@ class VideoReader:
 
 def open_video(path: str) -> VideoReader:
     return VideoReader(path)
+
+
+def decode_snippet_windows(path: str, window: int, num_windows: int = 1,
+                           max_frames: Optional[int] = None,
+                           repeat_short: bool = True) -> np.ndarray:
+    """Decode a clip's snippet windows → (N, window, H, W, 3) uint8 RGB.
+
+    The multi-snippet eval/serve protocol consumes `num_windows`
+    evenly-spaced (centre, for N=1) windows of `window` frames.  When
+    those cover well under the clip's length, only they are decoded
+    (``read_window`` seeks; host decode is the end-to-end Amdahl term —
+    SURVEY.md §7 hard-part #5); otherwise, or when the container's
+    frame-count metadata proves unreliable mid-read, the whole clip is
+    decoded and windowed in memory — bit-identical either way.
+
+    Short clips (fewer frames than `window`) clamp-repeat the last
+    frame; with `repeat_short` the single distinct window is tiled to
+    the static (num_windows, ...) shape batched callers require, else
+    it is returned once (shape (1, ...)).
+    """
+    with VideoReader(path) as r:
+        t = r.frame_count
+        if max_frames is not None and 0 < max_frames < t:
+            t = max_frames
+        if t >= window and num_windows * window <= int(0.6 * t):
+            if num_windows <= 1:
+                starts = [(t - window) // 2]
+            else:
+                starts = np.linspace(0, t - window,
+                                     num_windows).astype(int)
+            try:
+                return np.stack([r.read_window(int(s), window)
+                                 for s in starts])
+            except (IOError, ValueError):
+                pass      # metadata lied: fall through to full decode
+        # Reopen: the seek attempt above may have moved the demuxer.
+    with VideoReader(path) as r:
+        frames = r.read_all(max_frames=max_frames)
+    t = len(frames)
+    if num_windows <= 1 or t <= window:
+        idx = np.clip(np.arange((t - window) // 2,
+                                (t - window) // 2 + window)
+                      if t >= window else np.arange(window),
+                      0, t - 1)
+        wins = frames[idx][None]
+        if num_windows > 1 and repeat_short:
+            wins = np.repeat(wins, num_windows, axis=0)
+        return wins
+    starts = np.linspace(0, t - window, num_windows).astype(int)
+    return np.stack([frames[s:s + window] for s in starts])
 
 
 def iter_frames(path: str, max_frames: Optional[int] = None

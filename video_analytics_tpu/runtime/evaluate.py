@@ -19,10 +19,8 @@ import numpy as np
 
 from video_analytics_tpu.config import PipelineConfig
 from video_analytics_tpu.io.dataset import ClipRecord, ProgressManifest
-from video_analytics_tpu.io.video import VideoReader
 from video_analytics_tpu.models.two_stream import TwoStreamModel
-from video_analytics_tpu.runtime.pipeline import (
-    classify_window, sample_window)
+from video_analytics_tpu.runtime.pipeline import classify_window
 from video_analytics_tpu.utils.logging import get_logger
 
 log = get_logger("tpuva.eval")
@@ -60,20 +58,20 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
     windows are stacked and classified in ONE vmapped dispatch
     (runtime.pipeline.classify_batch) — through a high-RTT transport
     N serial launches would pay N× dispatch latency for no reason.
+    Only the windows themselves are decoded when they cover a small
+    part of the clip (io.video.decode_snippet_windows).
     """
+    from video_analytics_tpu.io.video import decode_snippet_windows
     from video_analytics_tpu.runtime.pipeline import classify_batch
 
-    with VideoReader(path) as r:
-        frames = r.read_all(max_frames=max_frames)
     # Window must cover flow_stack+1 frames to build one flow stack.
     win = max(cfg.window, cfg.preprocess.flow_stack + 1)
-    t = len(frames)
-    if num_windows <= 1 or t <= win:
-        idx = sample_window(t, win)
-        return np.asarray(classify_window(frames[idx], variables,
+    wins = decode_snippet_windows(path, win, num_windows,
+                                  max_frames=max_frames,
+                                  repeat_short=False)
+    if wins.shape[0] == 1:
+        return np.asarray(classify_window(wins[0], variables,
                                           model, cfg))
-    starts = np.linspace(0, t - win, num_windows).astype(int)
-    wins = np.stack([frames[s:s + win] for s in starts])
     probs = np.asarray(classify_batch(wins, variables, model, cfg))
     return probs.mean(0)
 
@@ -121,7 +119,7 @@ def evaluate_batched(records: List[ClipRecord], variables,
     """
     import jax.numpy as jnp
     from video_analytics_tpu.ingest.prefetch import prefetch_clips
-    from video_analytics_tpu.io.video import VideoReader
+    from video_analytics_tpu.io.video import decode_snippet_windows
     from video_analytics_tpu.parallel.mesh import (
         data_sharding, replicated)
 
@@ -134,23 +132,19 @@ def evaluate_batched(records: List[ClipRecord], variables,
         batch_clips = ((batch_clips + ddim - 1) // ddim) * ddim
 
     def loader(path):
-        with VideoReader(path) as r:
-            frames = r.read_all(max_frames=max_frames)
+        # Snippet windows only — decode_snippet_windows seeks past the
+        # frames the protocol never consumes (the host-decode Amdahl
+        # term of this driver).
+        wins = decode_snippet_windows(path, win, num_windows,
+                                      max_frames=max_frames)
         if host_resize:
             # Pre-resize in the decode worker: numerics-matched to the
             # device resize (cv2 INTER_LINEAR parity), cuts host→HBM
             # bandwidth ~(H/short)² for high-res clips.
             from video_analytics_tpu.ingest import host_resize_short
-            frames = host_resize_short(frames,
-                                       cfg.preprocess.resize_short)
-        t = len(frames)
-        if num_windows <= 1 or t <= win:
-            wins = frames[sample_window(t, win)][None]
-            if num_windows > 1:     # static (N, ...) shape either way
-                wins = np.repeat(wins, num_windows, axis=0)
-        else:
-            starts = np.linspace(0, t - win, num_windows).astype(int)
-            wins = np.stack([frames[s:s + win] for s in starts])
+            wins = np.stack([host_resize_short(w,
+                                               cfg.preprocess.resize_short)
+                             for w in wins])
         return wins
 
     if mesh is not None:
@@ -158,6 +152,13 @@ def evaluate_batched(records: List[ClipRecord], variables,
 
     result = EvalResult()
     pending: List = []
+    # Per-batch `correct` counts stay ON DEVICE until the very end:
+    # fetching the scalar inside flush() would block the consumer
+    # thread on the batch's completion (one transport RTT + the device
+    # work) before the next batch could even be dispatched — deferring
+    # the fetches lets dispatches pipeline on the device stream while
+    # the decode workers keep feeding.
+    correct_parts: List = []
 
     def flush():
         if not pending:
@@ -187,7 +188,7 @@ def evaluate_batched(records: List[ClipRecord], variables,
         correct, _ = _batch_clip_metrics(arr, labels, valid_d,
                                          variables, model, cfg)
         result.total += n
-        result.correct += int(correct)
+        correct_parts.append(correct)
 
     for path, wins, _dt in prefetch_clips(
             [r.path for r in records], loader,
@@ -196,6 +197,7 @@ def evaluate_batched(records: List[ClipRecord], variables,
         if len(pending) >= batch_clips:
             flush()
     flush()
+    result.correct = sum(int(c) for c in correct_parts)
     result.failed = len(result.failures)
     return result
 

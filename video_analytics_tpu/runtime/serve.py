@@ -109,12 +109,21 @@ class ClipServer:
 
     def classify_path(self, path: str, topk: Optional[int] = None
                       ) -> Dict[str, Any]:
-        from video_analytics_tpu.io.video import VideoReader
+        from video_analytics_tpu.io.video import decode_snippet_windows
 
         t0 = time.perf_counter()
-        with VideoReader(path) as r:
-            frames = r.read_all(max_frames=self.max_frames)
-        probs = self._classify(self._windows_from_frames(frames))
+        # Decode only the snippet windows the protocol consumes (seek
+        # decode; the per-request latency is host-decode-dominated).
+        wins = decode_snippet_windows(path, self.window,
+                                      self.num_windows,
+                                      max_frames=self.max_frames,
+                                      repeat_short=False)
+        if self.normalize:
+            from video_analytics_tpu.ingest import host_normalize_square
+            wins = np.stack([host_normalize_square(
+                w, self.cfg.preprocess.resize_short,
+                crop=self.cfg.preprocess.crop) for w in wins])
+        probs = self._classify(wins)
         k = topk or self.topk
         order = np.argsort(probs)[::-1][:k]
         self.served += 1
