@@ -155,3 +155,35 @@ def test_evaluate_batched(tmp_path):
     # Failure accounting names the exact clip that failed (SURVEY §5).
     assert [p for p, _ in r2.failures] == [bad]
     assert [p for p, _ in r1.failures] == [bad]
+
+
+def test_evaluate_batched_transport_crop_ab(tmp_path):
+    """transport_crop=True (host slices to the consumed source window,
+    device applies the same offsets via src_hw) must match
+    transport_crop=False (full frames over the transport) — the bytes
+    reaching the resize are identical by construction."""
+    import jax
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.config import FarnebackConfig, PipelineConfig
+    from video_analytics_tpu.io.dataset import ClipRecord
+    from video_analytics_tpu.io.video import synthesize_video
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import evaluate_batched
+
+    cfg = PipelineConfig(flow_algo="farneback",
+                         farneback=FarnebackConfig(levels=0, iterations=1),
+                         window=12)
+    model = TwoStreamModel.create(num_classes=3, flow_stack=10)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    records = []
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.mp4")
+        synthesize_video(p, moving_square_frames(16, 120, 160), fps=10)
+        records.append(ClipRecord(path=p, label=i % 3, class_name=str(i)))
+    r_t = evaluate_batched(records, variables, model, cfg, batch_clips=2,
+                           transport_crop=True)
+    r_f = evaluate_batched(records, variables, model, cfg, batch_clips=2,
+                           transport_crop=False)
+    assert r_t.total == r_f.total == 3
+    assert r_t.failed == r_f.failed == 0
+    assert r_t.correct == r_f.correct

@@ -148,3 +148,43 @@ def test_fused_resize_crop_matches_two_op_chain(rng):
         # residual fp weight noise; ~40x below the bf16 resolution the
         # CNNs consume at.
         assert d < 2e-2, (h, w, d)
+
+
+def test_transport_crop_slice_bitexact(rng):
+    """Host-side slice_crop_source + device resize with src_hw must be
+    BIT-identical to handing the device the full frame: both paths give
+    scale_and_translate the same operand bytes and the same fractional
+    offsets (the transport-crop contract, ingest/windows.py)."""
+    from video_analytics_tpu.ingest import slice_crop_source
+
+    for h, w in [(240, 320), (320, 240), (226, 226), (241, 319),
+                 (120, 160)]:
+        x = rng.uniform(0, 255, (2, h, w, 3)).astype(np.uint8)
+        full = np.asarray(ops.resize_short_center_crop(
+            jnp.asarray(x), 256, 224))
+        sl, hw = slice_crop_source(x, 256, 224)
+        assert hw == (h, w)
+        if min(h, w) > 224:
+            assert sl.size < x.size, (h, w)
+        pre = np.asarray(ops.resize_short_center_crop(
+            jnp.asarray(sl), 256, 224, src_hw=hw))
+        np.testing.assert_array_equal(pre, full)
+
+
+def test_transport_crop_preprocess_clip_and_guards(rng):
+    """preprocess_clip honours cfg.src_hw; shape mismatches and the
+    random_crop combination are rejected loudly."""
+    import pytest
+    from video_analytics_tpu.ingest import slice_crop_source
+
+    x = rng.uniform(0, 255, (2, 240, 320, 3)).astype(np.uint8)
+    cfg = PreprocessConfig()
+    full = np.asarray(ops.preprocess_clip(jnp.asarray(x), cfg))
+    sl, hw = slice_crop_source(x, cfg.resize_short, cfg.crop)
+    cfg_t = PreprocessConfig(src_hw=hw)
+    pre = np.asarray(ops.preprocess_clip(jnp.asarray(sl), cfg_t))
+    np.testing.assert_array_equal(pre, full)
+    with pytest.raises(ValueError):  # full frame + src_hw set
+        ops.preprocess_clip(jnp.asarray(x), cfg_t)
+    with pytest.raises(ValueError):  # random_crop + src_hw
+        PreprocessConfig(src_hw=hw, random_crop=True)

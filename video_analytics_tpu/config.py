@@ -10,7 +10,7 @@ usable directly as ``jax.jit`` static arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +94,20 @@ class PreprocessConfig:
     # Flow fields are clipped to [-flow_bound, flow_bound] and rescaled
     # (the standard two-stream uint8 storage convention).
     flow_bound: float = 20.0
+    # Transport crop: when set to the ORIGINAL (H, W), pipeline inputs
+    # are expected to be pre-sliced on the host to the exact source
+    # window the fused resize+center-crop samples
+    # (ops.preprocess.crop_source_geometry) — the host sends only the
+    # bytes the device would read anyway (bit-identical results,
+    # ~0.55-0.6x host->HBM traffic at SD resolutions).  Only valid for
+    # the center-crop (eval) path; incompatible with random_crop.
+    src_hw: Optional[Tuple[int, int]] = None
+
+    def __post_init__(self):
+        if self.src_hw is not None and self.random_crop:
+            raise ValueError(
+                "src_hw (transport crop) requires the full frame on "
+                "device; incompatible with random_crop")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,6 +1,7 @@
 from video_analytics_tpu.ingest.windows import (  # noqa: F401
     host_normalize_square,
     host_resize_short,
+    slice_crop_source,
     sliding_windows,
     window_starts,
 )

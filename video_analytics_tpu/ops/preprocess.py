@@ -51,21 +51,21 @@ def resize_short_side(x: jax.Array, short: int) -> jax.Array:
     return resize_bilinear(x, out_hw)
 
 
-def resize_short_center_crop(x: jax.Array, short: int,
-                             crop: int) -> jax.Array:
-    """Fused ``center_crop(resize_short_side(x, short), crop)``.
+def crop_source_geometry(h: int, w: int, short: int, crop: int):
+    """Geometry of the fused ``center_crop(resize_short(x), crop)``:
+    the (row, col) source window the cropped output actually samples,
+    plus the scale/translate that aligns the fractional offset on the
+    sliced window.
 
-    Same sample positions (half-pixel-center bilinear, no antialias),
-    but the resize only computes the region the crop keeps: the input
-    is sliced to the span the cropped output actually samples and
-    ``jax.image.scale_and_translate`` aligns the fractional offset.
-    At 1080p → 256-short → 224² this removes ~57% of the resize work,
-    which profiling showed was ~a third of the sustained-1080p device
-    time.  Matches the two-op chain to ~1e-3 absolute on [0, 255]
-    pixels (weight-computation fp noise only; equivalence test gated).
+    Returns ``((r0, r1, c0, c1), (sh, th), (sw, tw))`` — slice bounds
+    into the ORIGINAL (h, w) image and the per-axis
+    ``jax.image.scale_and_translate`` arguments valid for the slice.
+    Shared by the device path (resize_short_center_crop) and the host
+    transport-crop (ingest.slice_crop_source): slicing on either side
+    of the host→HBM boundary is bit-identical because both use exactly
+    this window and offset.
     """
     import math
-    h, w = x.shape[-3], x.shape[-2]
     if h <= w:
         rh, rw = short, max(1, int(round(w * short / h)))
     else:
@@ -87,7 +87,43 @@ def resize_short_center_crop(x: jax.Array, short: int,
 
     r0, r1, sh, th = axis_window(h, rh, top)
     c0, c1, sw, tw = axis_window(w, rw, left)
-    sl = x[..., r0:r1, c0:c1, :].astype(jnp.float32)
+    return (r0, r1, c0, c1), (sh, th), (sw, tw)
+
+
+def resize_short_center_crop(x: jax.Array, short: int, crop: int,
+                             src_hw: Optional[Tuple[int, int]] = None
+                             ) -> jax.Array:
+    """Fused ``center_crop(resize_short_side(x, short), crop)``.
+
+    Same sample positions (half-pixel-center bilinear, no antialias),
+    but the resize only computes the region the crop keeps: the input
+    is sliced to the span the cropped output actually samples and
+    ``jax.image.scale_and_translate`` aligns the fractional offset.
+    At 1080p → 256-short → 224² this removes ~57% of the resize work,
+    which profiling showed was ~a third of the sustained-1080p device
+    time.  Matches the two-op chain to ~1e-3 absolute on [0, 255]
+    pixels (weight-computation fp noise only; equivalence test gated).
+
+    ``src_hw=(H, W)``: `x` is ALREADY the host-sliced source window of
+    an (H, W) image (ingest.slice_crop_source) — skip the device slice
+    and use the same fractional offsets.  Bit-identical to passing the
+    full frame: both paths hand scale_and_translate the same operand
+    and arguments (transport crop, config.PreprocessConfig.src_hw).
+    """
+    if src_hw is not None:
+        h, w = src_hw
+    else:
+        h, w = x.shape[-3], x.shape[-2]
+    (r0, r1, c0, c1), (sh, th), (sw, tw) = crop_source_geometry(
+        h, w, short, crop)
+    if src_hw is not None:
+        if x.shape[-3] != r1 - r0 or x.shape[-2] != c1 - c0:
+            raise ValueError(
+                f"src_hw={src_hw} expects a pre-sliced "
+                f"{(r1 - r0, c1 - c0)} window, got {x.shape[-3:-1]}")
+        sl = x.astype(jnp.float32)
+    else:
+        sl = x[..., r0:r1, c0:c1, :].astype(jnp.float32)
     out_shape = (*x.shape[:-3], crop, crop, x.shape[-1])
     return jax.image.scale_and_translate(
         sl, out_shape, (x.ndim - 3, x.ndim - 2),
@@ -142,7 +178,8 @@ def preprocess_clip(frames: jax.Array, cfg: PreprocessConfig,
         x = resize_short_side(frames, cfg.resize_short)
         x = random_crop_flip(x, cfg.crop, key, flip=cfg.random_flip)
     else:
-        x = resize_short_center_crop(frames, cfg.resize_short, cfg.crop)
+        x = resize_short_center_crop(frames, cfg.resize_short, cfg.crop,
+                                     src_hw=cfg.src_hw)
     return normalize(x, cfg.mean, cfg.std)
 
 

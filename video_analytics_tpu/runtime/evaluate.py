@@ -69,6 +69,14 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
     wins = decode_snippet_windows(path, win, num_windows,
                                   max_frames=max_frames,
                                   repeat_short=False)
+    if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
+        # Transport crop: only the source window the fused resize+crop
+        # samples crosses host→HBM (bit-identical; see evaluate_batched).
+        from video_analytics_tpu.ingest import slice_crop_source
+        wins, hw = slice_crop_source(wins, cfg.preprocess.resize_short,
+                                     cfg.preprocess.crop)
+        cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+            cfg.preprocess, src_hw=hw))
     if wins.shape[0] == 1:
         return np.asarray(classify_window(wins[0], variables,
                                           model, cfg))
@@ -107,7 +115,8 @@ def evaluate_batched(records: List[ClipRecord], variables,
                      mesh=None,
                      max_frames: int = 300,
                      num_windows: int = 1,
-                     host_resize: bool = False) -> EvalResult:
+                     host_resize: bool = False,
+                     transport_crop: bool = True) -> EvalResult:
     """Throughput-oriented eval: threaded decode (ingest.prefetch_clips)
     → `num_windows` evenly-spaced snippet windows per clip → batches of
     `batch_clips` clips per launch (amortises dispatch), optionally
@@ -116,6 +125,15 @@ def evaluate_batched(records: List[ClipRecord], variables,
 
     Protocol-identical to evaluate(num_windows=N); decode failures are
     contained in the workers and reported per path in result.failures.
+
+    transport_crop=True (default) slices each decoded window in the
+    decode worker to the exact source region the fused resize+crop
+    samples (ingest.slice_crop_source) so only consumed pixels cross
+    the host→HBM transport — bit-identical results (the device applies
+    the same fractional offsets via PreprocessConfig.src_hw), ~0.6x
+    transfer bytes at SD source resolutions.  Requires the clips in a
+    batch to share one resolution (mixed resolutions already cannot
+    np.stack into one batch).
     """
     import jax.numpy as jnp
     from video_analytics_tpu.ingest.prefetch import prefetch_clips
@@ -131,6 +149,9 @@ def evaluate_batched(records: List[ClipRecord], variables,
         ddim = int(mesh.devices.shape[0])
         batch_clips = ((batch_clips + ddim - 1) // ddim) * ddim
 
+    if cfg.preprocess.random_crop:
+        transport_crop = False      # needs the full frame on device
+
     def loader(path):
         # Snippet windows only — decode_snippet_windows seeks past the
         # frames the protocol never consumes (the host-decode Amdahl
@@ -145,7 +166,12 @@ def evaluate_batched(records: List[ClipRecord], variables,
             wins = np.stack([host_resize_short(w,
                                                cfg.preprocess.resize_short)
                              for w in wins])
-        return wins
+        if transport_crop:
+            from video_analytics_tpu.ingest import slice_crop_source
+            wins, hw = slice_crop_source(wins, cfg.preprocess.resize_short,
+                                         cfg.preprocess.crop)
+            return wins, hw
+        return wins, None
 
     if mesh is not None:
         variables = jax.device_put(variables, replicated(mesh))
@@ -163,8 +189,18 @@ def evaluate_batched(records: List[ClipRecord], variables,
     def flush():
         if not pending:
             return
-        paths, winss = zip(*pending)
+        paths, winss, hws = zip(*pending)
         pending.clear()
+        if len(set(hws)) != 1:
+            raise ValueError(
+                f"clips in a batch must share one resolution, got "
+                f"source sizes {sorted(set(hws))}")
+        if hws[0] is None:
+            batch_cfg = cfg
+        else:
+            batch_cfg = dataclasses.replace(
+                cfg, preprocess=dataclasses.replace(
+                    cfg.preprocess, src_hw=hws[0]))
         n = len(winss)
         arr = np.stack(winss)                     # (n, N, T, H, W, 3)
         labels = np.asarray([by_path[p].label for p in paths], np.int32)
@@ -186,14 +222,14 @@ def evaluate_batched(records: List[ClipRecord], variables,
             labels = jnp.asarray(labels)
             valid_d = jnp.asarray(valid)
         correct, _ = _batch_clip_metrics(arr, labels, valid_d,
-                                         variables, model, cfg)
+                                         variables, model, batch_cfg)
         result.total += n
         correct_parts.append(correct)
 
-    for path, wins, _dt in prefetch_clips(
+    for path, (wins, hw), _dt in prefetch_clips(
             [r.path for r in records], loader,
             num_workers=num_workers, error_log=result.failures):
-        pending.append((path, wins))
+        pending.append((path, wins, hw))
         if len(pending) >= batch_clips:
             flush()
     flush()

@@ -113,7 +113,8 @@ def flow_features(frames: jax.Array, variables,
     """(T, H, W, 3) uint8 → (N, 512) flow-stream features: gray →
     crop → flow → stack → CNN, all one program, flow HBM-resident."""
     x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
-                                    cfg.preprocess.crop)
+                                    cfg.preprocess.crop,
+                                    src_hw=cfg.preprocess.src_hw)
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True,
                                  flow_variables=flow_variables)
@@ -138,7 +139,8 @@ def classify_window(frames: jax.Array, variables: Dict[str, Any],
     s_logits = model.spatial_logits(variables, rgb)
 
     x = pp.resize_short_center_crop(frames, cfg.preprocess.resize_short,
-                                    cfg.preprocess.crop)
+                                    cfg.preprocess.crop,
+                                    src_hw=cfg.preprocess.src_hw)
     gray = pp.rgb_to_gray(x)
     flow = compute_flow_sequence(gray, cfg, bounded=True,
                                  flow_variables=variables.get("flow"))

@@ -90,11 +90,23 @@ class ClipServer:
         return wins
 
     def _classify(self, wins: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
+            # Transport crop: only the source window the fused
+            # resize+crop samples crosses host→HBM (bit-identical;
+            # runtime/evaluate.py).  With normalize=True the input is
+            # always (short, short) so this stays ONE static shape.
+            import dataclasses
+            from video_analytics_tpu.ingest import slice_crop_source
+            wins, hw = slice_crop_source(
+                wins, cfg.preprocess.resize_short, cfg.preprocess.crop)
+            cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+                cfg.preprocess, src_hw=hw))
         if wins.shape[0] == 1:
             return np.asarray(classify_window(
-                wins[0], self.variables, self.model, self.cfg))
+                wins[0], self.variables, self.model, cfg))
         probs = np.asarray(classify_batch(
-            wins, self.variables, self.model, self.cfg))
+            wins, self.variables, self.model, cfg))
         return probs.mean(0)
 
     def warmup(self) -> float:
