@@ -283,20 +283,29 @@ def measure_sustained_1080p():
     # ingest path pre-resizes to resize_short on host (the pipeline
     # only consumes 256-short pixels, so this cuts the host→HBM
     # transfer ~17x for 1080p; through the dev tunnel the transfer is
-    # otherwise the whole story).
-    from video_analytics_tpu.ingest import host_resize_short
+    # otherwise the whole story) and then transport-crops to the exact
+    # source window the fused resize+crop samples (another ~2.3x fewer
+    # bytes at 256×455, bit-identical — ingest.slice_crop_source).
+    import dataclasses
+    from video_analytics_tpu.ingest import (host_resize_short,
+                                            slice_crop_source)
     small = [np.stack([host_resize_short(w, cfg.preprocess.resize_short)
                        for w in b]) for b in batches]
+    pairs = [slice_crop_source(b, cfg.preprocess.resize_short,
+                               cfg.preprocess.crop) for b in small]
+    small, hw = [p[0] for p in pairs], pairs[0][1]
+    cfg_t = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+        cfg.preprocess, src_hw=hw))
 
     def run_once(bs):
         n_frames = 0
         for wb in DevicePrefetcher(bs, depth=2):
-            probs = classify_batch(wb, variables, model, cfg)
+            probs = classify_batch(wb, variables, model, cfg_t)
             n_frames += WB * cfg.window
         float(probs.sum())
         return n_frames
 
-    run_once(small)                 # compile at the resized shape
+    run_once(small)                 # compile at the sliced shape
     t0 = time.perf_counter()
     n = run_once(small)
     ingest_fps = n / (time.perf_counter() - t0)
