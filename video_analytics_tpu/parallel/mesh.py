@@ -74,11 +74,16 @@ def shard_dense_over_model(variables, mesh: Mesh):
     collectives (SURVEY.md §2b #13: the mesh declares 'model' up front
     exactly so TP is a placement decision, not an API change)."""
 
+    mp = int(mesh.shape["model"])
+
     def place(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", None))
                  for p in path]
-        if "fc" in names:
-            # kernel (in, out) / bias (out,): shard the output dim.
+        # kernel (in, out) / bias (out,): shard the output dim — unless
+        # it doesn't divide the model axis (e.g. an odd class count), in
+        # which case that leaf stays replicated (correct either way; XLA
+        # just keeps its matmul whole).
+        if "fc" in names and leaf.shape[-1] % mp == 0:
             return jax.device_put(leaf, model_sharding(mesh, leaf.ndim))
         return jax.device_put(leaf, replicated(mesh))
 
