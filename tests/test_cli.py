@@ -122,6 +122,40 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_orbax_async_checkpoint_roundtrip(tmp_path):
+    """The optional orbax backend: async save (overlaps compute),
+    restore into a template — including direct restore-to-sharding on
+    a mesh, each leaf landing with the template's placement."""
+    import jax
+    import pytest
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.parallel.mesh import make_mesh, replicated
+    from video_analytics_tpu.runtime.checkpoint import (
+        AsyncCheckpointer, have_orbax)
+    if not have_orbax():
+        pytest.skip("orbax not installed")
+    model = TwoStreamModel.create(num_classes=5)
+    v = model.init_variables(jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck1")
+    with AsyncCheckpointer() as ck:
+        ck.save(path, v)           # returns before the write commits
+        ck.wait()
+        v2 = model.init_variables(jax.random.PRNGKey(2))
+        restored = ck.restore(path, v2)
+        np.testing.assert_array_equal(
+            np.asarray(v["spatial"]["params"]["conv1"]["kernel"]),
+            np.asarray(restored["spatial"]["params"]["conv1"]["kernel"]))
+        # Restore-to-sharding: template leaves carry mesh placements.
+        mesh = make_mesh()
+        placed = jax.device_put(v2, replicated(mesh))
+        resharded = ck.restore(path, placed)
+        leaf = resharded["spatial"]["params"]["conv1"]["kernel"]
+        assert leaf.sharding == replicated(mesh)
+        np.testing.assert_array_equal(
+            np.asarray(v["spatial"]["params"]["conv1"]["kernel"]),
+            np.asarray(leaf))
+
+
 def test_full_stage_chain(tmp_path, tiny_clip, capsys):
     """The reference's filesystem stage handoff end-to-end:
     extract-frames → compute-flow (quantized jpg) → extract-features

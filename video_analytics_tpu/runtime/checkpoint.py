@@ -1,12 +1,24 @@
-"""Checkpoint/resume: flax msgpack serialization for model variables
-and training state (SURVEY.md §5).  The CLI stage artifacts (frames /
-flow / feature files on disk) remain the coarse-grained pipeline
-checkpoints, for reference-layout compatibility."""
+"""Checkpoint/resume (SURVEY.md §5).
+
+Two backends:
+
+- **flax msgpack** (default, the CLI checkpoint format): one portable
+  file, atomic replace, host-gathered — right for the two-stream model
+  scale and for handing checkpoints between machines.
+- **orbax** (optional, `AsyncCheckpointer`): asynchronous saves that
+  overlap training compute, and restore-to-sharding — each host writes/
+  reads only its shards, which is the TPU-native story once train state
+  is sharded over a multi-host mesh.  Import-gated so environments
+  without orbax keep working.
+
+The CLI stage artifacts (frames / flow / feature files on disk) remain
+the coarse-grained pipeline checkpoints, for reference-layout
+compatibility."""
 
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.serialization
 import jax
@@ -28,3 +40,56 @@ def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     with open(path, "rb") as f:
         data = f.read()
     return flax.serialization.from_bytes(template, data)
+
+
+def have_orbax() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("orbax.checkpoint") is not None
+
+
+class AsyncCheckpointer:
+    """Orbax-backed async checkpointing for long training runs.
+
+    ``save`` returns as soon as the train state is staged to host
+    memory; the serialization + write happen on a background thread, so
+    checkpointing overlaps the next training steps instead of stalling
+    the device (the production cadence: save every N steps without
+    paying the write each time).  ``restore(path, template)`` restores
+    into the template's structure; when the template's leaves carry
+    shardings (e.g. a device_put train state on a mesh), orbax restores
+    each shard directly to its device — no host-gather round trip.
+
+    Directory-per-checkpoint layout (orbax's), unlike the msgpack
+    single file; `wait()` (or context-manager exit) must run before the
+    process ends or the last save may be torn — orbax keeps a tmp
+    marker until the write commits, so a torn save is detected at
+    restore, never silently loaded.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ck = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, tree: Any, force: bool = True) -> None:
+        self._ck.save(os.path.abspath(path),
+                      args=self._ocp.args.StandardSave(tree), force=force)
+
+    def restore(self, path: str, template: Any) -> Any:
+        return self._ck.restore(
+            os.path.abspath(path),
+            args=self._ocp.args.StandardRestore(template))
+
+    def wait(self) -> None:
+        self._ck.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ck.close()
+
+    def __enter__(self) -> "AsyncCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> Optional[bool]:
+        self.close()
+        return None
