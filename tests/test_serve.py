@@ -101,6 +101,29 @@ def test_serve_failure_containment(server, tiny_clip):
     assert "top1" in resp
 
 
+def test_serve_batch_request(server, tiny_clip):
+    """{"paths": [...]}: one fused batch dispatch, request-order
+    results, per-entry failure containment, probs identical to the
+    single-path protocol (same preprocessing, same executable ladder)."""
+    single = server.handle_line(json.dumps({"path": tiny_clip}))
+    resp = server.handle_line(json.dumps(
+        {"paths": [tiny_clip, "/nope/missing.mp4", tiny_clip],
+         "id": 9, "topk": 2}))
+    assert resp["id"] == 9 and resp["ms"] > 0
+    rs = resp["results"]
+    assert [r["path"] for r in rs] == [tiny_clip, "/nope/missing.mp4",
+                                       tiny_clip]
+    assert "error" in rs[1] and "top1" not in rs[1]
+    for r in (rs[0], rs[2]):
+        assert r["top1"] == single["top1"]
+        assert len(r["topk"]) == 2
+        np.testing.assert_allclose(r["topk"][0]["prob"],
+                                   single["topk"][0]["prob"], atol=1e-6)
+    # malformed batch requests answer an error, not a crash
+    assert "error" in server.handle_line(json.dumps({"paths": []}))
+    assert "error" in server.handle_line(json.dumps({"paths": [1, 2]}))
+
+
 def test_serve_loop_shutdown(server, tiny_clip):
     stdin = io.StringIO("\n".join([
         json.dumps({"path": tiny_clip, "id": 1}),

@@ -16,6 +16,9 @@ on stdout (responses carry the request's "id" when given):
 
     {"path": "/clip.mp4"}                 → classification
     {"path": "/clip.mp4", "id": 7, "topk": 5}
+    {"paths": ["/a.mp4", "/b.mp4"]}       → {"results": [...]} — decode
+                                            threaded, ONE fused batch
+                                            dispatch for all clips
     {"cmd": "ping"}                       → {"ok": true}
     {"cmd": "shutdown"}                   → {"ok": true}, then exit
 
@@ -109,6 +112,29 @@ class ClipServer:
             wins, self.variables, self.model, cfg))
         return probs.mean(0)
 
+    def _classify_many(self, wins: np.ndarray) -> np.ndarray:
+        """(B, N, win, h, w, 3) stacked clip windows → (B, C) probs in
+        ONE fused dispatch (B·N windows vmapped), the batch dim padded
+        to the next power of two so request sizes reuse a small ladder
+        of compiled executables instead of one per distinct B."""
+        cfg = self.cfg
+        if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
+            import dataclasses
+            from video_analytics_tpu.ingest import slice_crop_source
+            wins, hw = slice_crop_source(
+                wins, cfg.preprocess.resize_short, cfg.preprocess.crop)
+            cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+                cfg.preprocess, src_hw=hw))
+        b, n = wins.shape[:2]
+        bp = 1 << (b - 1).bit_length()
+        if bp > b:
+            wins = np.concatenate(
+                [wins, np.repeat(wins[-1:], bp - b, axis=0)])
+        flat = wins.reshape((bp * n,) + wins.shape[2:])
+        probs = np.asarray(classify_batch(flat, self.variables,
+                                          self.model, cfg))
+        return probs.reshape(bp, n, -1).mean(1)[:b]
+
     def warmup(self) -> float:
         """Compile the serving executable on synthetic frames; returns
         the wall seconds spent.  Only meaningful with normalize=True
@@ -119,13 +145,12 @@ class ClipServer:
         self._classify(self._windows_from_frames(frames))
         return time.perf_counter() - t0
 
-    def classify_path(self, path: str, topk: Optional[int] = None
-                      ) -> Dict[str, Any]:
+    def _load_windows(self, path: str) -> np.ndarray:
+        """Decode only the snippet windows the protocol consumes (seek
+        decode; per-request latency is host-decode-dominated), host-
+        normalised to one static shape when normalize=True."""
         from video_analytics_tpu.io.video import decode_snippet_windows
 
-        t0 = time.perf_counter()
-        # Decode only the snippet windows the protocol consumes (seek
-        # decode; the per-request latency is host-decode-dominated).
         wins = decode_snippet_windows(path, self.window,
                                       self.num_windows,
                                       max_frames=self.max_frames,
@@ -135,7 +160,10 @@ class ClipServer:
             wins = np.stack([host_normalize_square(
                 w, self.cfg.preprocess.resize_short,
                 crop=self.cfg.preprocess.crop) for w in wins])
-        probs = self._classify(wins)
+        return wins
+
+    def _report(self, path: str, probs: np.ndarray, t0: float,
+                topk: Optional[int]) -> Dict[str, Any]:
         k = topk or self.topk
         order = np.argsort(probs)[::-1][:k]
         self.served += 1
@@ -148,6 +176,57 @@ class ClipServer:
                       "prob": float(probs[i])} for i in order],
             "ms": round(1e3 * (time.perf_counter() - t0), 2),
         }
+
+    def classify_path(self, path: str, topk: Optional[int] = None
+                      ) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        probs = self._classify(self._load_windows(path))
+        return self._report(path, probs, t0, topk)
+
+    def classify_paths(self, paths: List[str],
+                       topk: Optional[int] = None) -> Dict[str, Any]:
+        """Batch request: threaded decode of all clips, then ONE fused
+        batch dispatch (with normalize=True all clips share one static
+        shape).  Per-clip decode failures are contained as per-entry
+        errors; results come back in request order.  normalize=False
+        falls back to per-clip dispatches (heterogeneous resolutions
+        cannot share a batch)."""
+        t0 = time.perf_counter()
+        if not self.normalize:
+            results = []
+            for p in paths:
+                try:
+                    results.append(self.classify_path(p, topk=topk))
+                except Exception as e:
+                    log.warning("request failed: %s (%r)", p, e)
+                    results.append({"path": p, "error": repr(e)})
+            return {"results": results,
+                    "ms": round(1e3 * (time.perf_counter() - t0), 2)}
+
+        from video_analytics_tpu.ingest.prefetch import prefetch_clips
+        failures: List = []
+        loaded: Dict[str, np.ndarray] = {}
+        for p, wins, _dt in prefetch_clips(
+                paths, self._load_windows, num_workers=2,
+                error_log=failures):
+            loaded[p] = wins
+        errors = dict(failures)
+        oks = [p for p in paths if p in loaded]
+        probs_by_path: Dict[str, np.ndarray] = {}
+        if oks:
+            batch = np.stack([loaded[p] for p in oks])
+            probs = self._classify_many(batch)
+            probs_by_path = dict(zip(oks, probs))
+        results = []
+        for p in paths:
+            if p in probs_by_path:
+                results.append(self._report(p, probs_by_path[p], t0,
+                                            topk))
+            else:
+                results.append({"path": p,
+                                "error": errors.get(p, "decode failed")})
+        return {"results": results,
+                "ms": round(1e3 * (time.perf_counter() - t0), 2)}
 
     # -- line protocol ---------------------------------------------------
 
@@ -178,9 +257,22 @@ class ClipServer:
             return tag({"ok": True, "_shutdown": True})
         if cmd is not None:
             return tag({"error": f"unknown cmd: {cmd!r}"})
+        paths = req.get("paths")
+        if paths is not None:
+            if (not isinstance(paths, list) or not paths
+                    or not all(isinstance(p, str) for p in paths)):
+                return tag({"error": "'paths' must be a non-empty "
+                                     "list of strings"})
+            try:
+                return tag(self.classify_paths(paths,
+                                               topk=req.get("topk")))
+            except Exception as e:   # contain, keep serving
+                log.warning("batch request failed (%r)", e)
+                return tag({"error": repr(e)})
         path = req.get("path")
         if not path:
-            return tag({"error": "request needs a 'path' (or 'cmd')"})
+            return tag({"error": "request needs a 'path', 'paths' or "
+                                 "'cmd'"})
         try:
             return tag(self.classify_path(path, topk=req.get("topk")))
         except Exception as e:  # corrupt/missing clip: contain, keep serving
