@@ -156,6 +156,36 @@ def test_orbax_async_checkpoint_roundtrip(tmp_path):
             np.asarray(leaf))
 
 
+def test_orbax_rotation_preserves_previous(tmp_path):
+    """Repeated saves to one path must never leave a window where a
+    crash loses the last good checkpoint: the committed previous
+    checkpoint is rotated to <path>.prev before the new async write,
+    and restore falls back to it when the primary is missing/torn."""
+    import os
+    import shutil
+    import pytest
+    from video_analytics_tpu.runtime.checkpoint import (
+        AsyncCheckpointer, have_orbax)
+    if not have_orbax():
+        pytest.skip("orbax not installed")
+    path = str(tmp_path / "ck")
+    t1 = {"w": np.arange(4.0)}
+    t2 = {"w": np.arange(4.0) + 10.0}
+    template = {"w": np.zeros(4)}
+    with AsyncCheckpointer() as ck:
+        ck.save(path, t1)
+        ck.save(path, t2)          # rotates t1 → ck.prev
+        ck.wait()
+        assert os.path.isdir(path + ".prev")
+        np.testing.assert_array_equal(ck.restore(path, template)["w"],
+                                      t2["w"])
+        # Primary lost (crash between rotate and commit): restore
+        # falls back to the rotated previous checkpoint.
+        shutil.rmtree(path)
+        np.testing.assert_array_equal(ck.restore(path, template)["w"],
+                                      t1["w"])
+
+
 def test_full_stage_chain(tmp_path, tiny_clip, capsys):
     """The reference's filesystem stage handoff end-to-end:
     extract-frames → compute-flow (quantized jpg) → extract-features

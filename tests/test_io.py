@@ -69,6 +69,33 @@ def test_flo_roundtrip(tmp_path):
     np.testing.assert_array_equal(flow, back)
 
 
+def test_snippet_windows_reject_lying_frame_count(tmp_path, monkeypatch):
+    """Window placement derives from the container frame count, which
+    "may be approximate for some containers" — the seek path must
+    probe-validate it (io.video._frame_count_exact) and fall back to
+    the exact full-decode placement when metadata over- OR
+    under-reports, keeping decode_snippet_windows bit-identical to
+    read_all-based windowing either way."""
+    from video_analytics_tpu.io.video import decode_snippet_windows
+
+    frames = moving_square_frames(num=40, h=64, w=80)
+    path = str(tmp_path / "clip.mp4")
+    synthesize_video(path, frames, fps=10.0)
+    with VideoReader(path) as r:
+        full = r.read_all()
+    expected = full[17:23][None]        # start (40-6)//2 from ACTUAL t
+
+    for lie in (43, 38):                # over- and under-report
+        monkeypatch.setattr(VideoReader, "frame_count",
+                            property(lambda self, lie=lie: lie))
+        wins = decode_snippet_windows(path, window=6, num_windows=1)
+        np.testing.assert_array_equal(wins, expected, err_msg=str(lie))
+    monkeypatch.undo()
+    # Truthful metadata keeps the (validated) seek path bit-identical.
+    wins = decode_snippet_windows(path, window=6, num_windows=1)
+    np.testing.assert_array_equal(wins, expected)
+
+
 def test_flow_quantization():
     rng = np.random.default_rng(2)
     flow = rng.normal(0, 8, (17, 19, 2)).astype(np.float32)

@@ -124,6 +124,42 @@ def test_serve_batch_request(server, tiny_clip):
     assert "error" in server.handle_line(json.dumps({"paths": [1, 2]}))
 
 
+def test_serve_batch_mixed_lengths_and_dedup(tiny_clip, tmp_path):
+    """A batch request mixing clips shorter and longer than the window
+    (num_windows>1) must still stack into one fused dispatch — short
+    clips tile their single window to the static (N, ...) shape — and
+    duplicate paths are decoded/classified once with results fanned
+    back out per entry."""
+    from tests.fixtures import moving_square_frames
+    from video_analytics_tpu.io.video import synthesize_video
+
+    short_clip = str(tmp_path / "short.mp4")
+    synthesize_video(short_clip,
+                     moving_square_frames(num=4, h=90, w=130), fps=8.0)
+    cfg = PipelineConfig(
+        flow_algo="farneback",
+        preprocess=PreprocessConfig(resize_short=64, crop=56,
+                                    flow_stack=3),
+        window=6, num_classes=7)
+    model = TwoStreamModel.create(num_classes=7, flow_stack=3)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    srv = ClipServer(model, variables, cfg, num_windows=2, topk=2)
+
+    single_long = srv.handle_line(json.dumps({"path": tiny_clip}))
+    single_short = srv.handle_line(json.dumps({"path": short_clip}))
+    resp = srv.handle_line(json.dumps(
+        {"paths": [tiny_clip, short_clip, tiny_clip]}))
+    rs = resp["results"]
+    assert [r["path"] for r in rs] == [tiny_clip, short_clip, tiny_clip]
+    for r in rs:
+        assert "top1" in r, rs
+    for r, ref in ((rs[0], single_long), (rs[1], single_short),
+                   (rs[2], single_long)):
+        assert r["top1"] == ref["top1"]
+        np.testing.assert_allclose(r["topk"][0]["prob"],
+                                   ref["topk"][0]["prob"], atol=1e-6)
+
+
 def test_serve_loop_shutdown(server, tiny_clip):
     stdin = io.StringIO("\n".join([
         json.dumps({"path": tiny_clip, "id": 1}),

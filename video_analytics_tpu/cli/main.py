@@ -333,15 +333,10 @@ def cmd_extract_features(args) -> int:
         return 0
 
     frames = _load_frames(args.src, args.max_frames)
-    if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
-        # Transport crop: only the source window the fused resize+crop
-        # samples crosses host→HBM (bit-identical — runtime/evaluate.py).
-        import dataclasses
-        from video_analytics_tpu.ingest import slice_crop_source
-        frames, hw = slice_crop_source(frames, cfg.preprocess.resize_short,
-                                       cfg.preprocess.crop)
-        cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
-            cfg.preprocess, src_hw=hw))
+    # Transport crop: only the source window the fused resize+crop
+    # samples crosses host→HBM (bit-identical — runtime/evaluate.py).
+    from video_analytics_tpu.ingest import apply_transport_crop
+    frames, cfg = apply_transport_crop(frames, cfg)
     if args.stream in ("rgb", "both"):
         out["rgb"] = np.asarray(rgb_features(
             jnp.asarray(frames), variables["spatial"], model.spatial,

@@ -1,4 +1,5 @@
 from video_analytics_tpu.ingest.windows import (  # noqa: F401
+    apply_transport_crop,
     host_normalize_square,
     host_resize_short,
     slice_crop_source,

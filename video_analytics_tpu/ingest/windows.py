@@ -109,6 +109,25 @@ def slice_crop_source(frames: np.ndarray, short: int, crop: int):
     return np.ascontiguousarray(frames[..., r0:r1, c0:c1, :]), (h, w)
 
 
+def apply_transport_crop(frames: np.ndarray, cfg):
+    """Guard + apply the transport crop in one step: slice `frames`
+    (..., H, W, 3) to the source window the fused device resize+crop
+    samples (slice_crop_source) and return ``(frames, cfg')`` with
+    ``cfg'.preprocess.src_hw`` recording the pre-slice geometry so the
+    device path skips its own slice.  No-op — returns the inputs
+    unchanged — when the pipeline random-crops (training needs the full
+    frame) or a src_hw is already recorded (someone upstream already
+    cropped).  One helper so every serving/eval/CLI call site shares
+    the guard and the geometry plumbing."""
+    pp = cfg.preprocess
+    if pp.random_crop or pp.src_hw is not None:
+        return frames, cfg
+    import dataclasses
+    frames, hw = slice_crop_source(frames, pp.resize_short, pp.crop)
+    return frames, dataclasses.replace(
+        cfg, preprocess=dataclasses.replace(pp, src_hw=hw))
+
+
 def host_resize_short(frames: np.ndarray, short: int) -> np.ndarray:
     """(T, H, W, 3) uint8 → short side == `short` via cv2 on host.
 

@@ -87,8 +87,17 @@ class VideoReader:
             seek_ok = self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
             pos = int(self._cap.get(cv2.CAP_PROP_POS_FRAMES))
             if not seek_ok or pos != start:
-                # Rewind and grab-skip: exact for every backend.
+                # Rewind and grab-skip: exact for every backend — but
+                # seek was just proven unreliable here, so verify the
+                # rewind actually landed on frame 0 (reopen the
+                # container if not) before counting grabs from it.
                 self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                if int(self._cap.get(cv2.CAP_PROP_POS_FRAMES)) != 0:
+                    self._cap.release()
+                    self._cap = cv2.VideoCapture(self.path)
+                    if not self._cap.isOpened():
+                        raise IOError(
+                            f"could not reopen video: {self.path}")
                 for _ in range(start):
                     if not self._cap.grab():
                         raise IOError(
@@ -120,6 +129,28 @@ def open_video(path: str) -> VideoReader:
     return VideoReader(path)
 
 
+def _frame_count_exact(r: VideoReader, t: int, exact_end: bool) -> bool:
+    """Probe-validate a metadata-derived frame count before trusting it
+    for window placement: frame t-1 must exist, and (when ``exact_end``
+    — t is the unclamped container count) frame t must NOT.  Window
+    starts derive from t, so an inexact count would silently place
+    different windows than the full-decode path (`read_all` counts
+    actual frames) — the "bit-identical either way" contract of
+    decode_snippet_windows.  One seek + ≤2 grabs; a backend whose seek
+    cannot be verified (reported position off) fails the probe and the
+    caller takes the exact full-decode path."""
+    cap = r._cap
+    if not cap.set(cv2.CAP_PROP_POS_FRAMES, t - 1):
+        return False
+    if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != t - 1:
+        return False
+    if not cap.grab():          # frame t-1 missing: count over-reported
+        return False
+    if exact_end and cap.grab():  # frame t exists: count under-reported
+        return False
+    return True
+
+
 def decode_snippet_windows(path: str, window: int, num_windows: int = 1,
                            max_frames: Optional[int] = None,
                            repeat_short: bool = True) -> np.ndarray:
@@ -129,9 +160,10 @@ def decode_snippet_windows(path: str, window: int, num_windows: int = 1,
     evenly-spaced (centre, for N=1) windows of `window` frames.  When
     those cover well under the clip's length, only they are decoded
     (``read_window`` seeks; host decode is the end-to-end Amdahl term —
-    SURVEY.md §7 hard-part #5); otherwise, or when the container's
-    frame-count metadata proves unreliable mid-read, the whole clip is
-    decoded and windowed in memory — bit-identical either way.
+    SURVEY.md §7 hard-part #5); otherwise — or when the frame-count
+    metadata fails the up-front probe validation (``_frame_count_exact``)
+    or proves unreliable mid-read — the whole clip is decoded and
+    windowed in memory — bit-identical either way.
 
     Short clips (fewer frames than `window`) clamp-repeat the last
     frame; with `repeat_short` the single distinct window is tiled to
@@ -139,10 +171,12 @@ def decode_snippet_windows(path: str, window: int, num_windows: int = 1,
     it is returned once (shape (1, ...)).
     """
     with VideoReader(path) as r:
-        t = r.frame_count
+        meta_t = r.frame_count
+        t = meta_t
         if max_frames is not None and 0 < max_frames < t:
             t = max_frames
-        if t >= window and num_windows * window <= int(0.6 * t):
+        if (t >= window and num_windows * window <= int(0.6 * t)
+                and _frame_count_exact(r, t, exact_end=(t == meta_t))):
             if num_windows <= 1:
                 starts = [(t - window) // 2]
             else:

@@ -44,7 +44,14 @@ def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
 
 def have_orbax() -> bool:
     import importlib.util
-    return importlib.util.find_spec("orbax.checkpoint") is not None
+    try:
+        # find_spec("orbax.checkpoint") imports the parent package
+        # first and RAISES ModuleNotFoundError when orbax itself is
+        # absent — exactly the environment this gate must answer False
+        # in, not crash.
+        return importlib.util.find_spec("orbax.checkpoint") is not None
+    except ModuleNotFoundError:
+        return False
 
 
 class AsyncCheckpointer:
@@ -64,6 +71,14 @@ class AsyncCheckpointer:
     process ends or the last save may be torn — orbax keeps a tmp
     marker until the write commits, so a torn save is detected at
     restore, never silently loaded.
+
+    Durability across repeated saves to ONE path: the previous
+    committed checkpoint is rotated to ``<path>.prev`` before the new
+    asynchronous write starts (orbax's force=True would delete it
+    outright, so a crash mid-save would otherwise lose the last good
+    state — the msgpack backend's tmp+os.replace never has that
+    window).  ``restore`` falls back to ``<path>.prev`` when the
+    primary is missing or torn.
     """
 
     def __init__(self):
@@ -71,14 +86,35 @@ class AsyncCheckpointer:
         self._ocp = ocp
         self._ck = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
-    def save(self, path: str, tree: Any, force: bool = True) -> None:
-        self._ck.save(os.path.abspath(path),
-                      args=self._ocp.args.StandardSave(tree), force=force)
+    def save(self, path: str, tree: Any,
+             keep_previous: bool = True) -> None:
+        import shutil
+        path = os.path.abspath(path)
+        # One in-flight save per path: wait for the previous async write
+        # before rotating/overwriting its destination.
+        self.wait()
+        if keep_previous and os.path.isdir(path):
+            prev = path + ".prev"
+            if os.path.isdir(prev):
+                shutil.rmtree(prev)
+            os.replace(path, prev)
+        self._ck.save(path, args=self._ocp.args.StandardSave(tree),
+                      force=True)
 
     def restore(self, path: str, template: Any) -> Any:
-        return self._ck.restore(
-            os.path.abspath(path),
-            args=self._ocp.args.StandardRestore(template))
+        path = os.path.abspath(path)
+        try:
+            return self._ck.restore(
+                path, args=self._ocp.args.StandardRestore(template))
+        except Exception:
+            prev = path + ".prev"
+            if not os.path.isdir(prev):
+                raise
+            # Primary missing or torn (crash between rotate and
+            # commit): the rotated previous checkpoint is the last
+            # committed good state.
+            return self._ck.restore(
+                prev, args=self._ocp.args.StandardRestore(template))
 
     def wait(self) -> None:
         self._ck.wait_until_finished()

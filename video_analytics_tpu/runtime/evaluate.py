@@ -69,14 +69,10 @@ def classify_clip_file(path: str, variables, model: TwoStreamModel,
     wins = decode_snippet_windows(path, win, num_windows,
                                   max_frames=max_frames,
                                   repeat_short=False)
-    if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
-        # Transport crop: only the source window the fused resize+crop
-        # samples crosses host→HBM (bit-identical; see evaluate_batched).
-        from video_analytics_tpu.ingest import slice_crop_source
-        wins, hw = slice_crop_source(wins, cfg.preprocess.resize_short,
-                                     cfg.preprocess.crop)
-        cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
-            cfg.preprocess, src_hw=hw))
+    # Transport crop: only the source window the fused resize+crop
+    # samples crosses host→HBM (bit-identical; see evaluate_batched).
+    from video_analytics_tpu.ingest import apply_transport_crop
+    wins, cfg = apply_transport_crop(wins, cfg)
     if wins.shape[0] == 1:
         return np.asarray(classify_window(wins[0], variables,
                                           model, cfg))

@@ -93,18 +93,12 @@ class ClipServer:
         return wins
 
     def _classify(self, wins: np.ndarray) -> np.ndarray:
-        cfg = self.cfg
-        if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
-            # Transport crop: only the source window the fused
-            # resize+crop samples crosses host→HBM (bit-identical;
-            # runtime/evaluate.py).  With normalize=True the input is
-            # always (short, short) so this stays ONE static shape.
-            import dataclasses
-            from video_analytics_tpu.ingest import slice_crop_source
-            wins, hw = slice_crop_source(
-                wins, cfg.preprocess.resize_short, cfg.preprocess.crop)
-            cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
-                cfg.preprocess, src_hw=hw))
+        # Transport crop: only the source window the fused resize+crop
+        # samples crosses host→HBM (bit-identical; runtime/evaluate.py).
+        # With normalize=True the input is always (short, short) so
+        # this stays ONE static shape.
+        from video_analytics_tpu.ingest import apply_transport_crop
+        wins, cfg = apply_transport_crop(wins, self.cfg)
         if wins.shape[0] == 1:
             return np.asarray(classify_window(
                 wins[0], self.variables, self.model, cfg))
@@ -117,14 +111,8 @@ class ClipServer:
         ONE fused dispatch (B·N windows vmapped), the batch dim padded
         to the next power of two so request sizes reuse a small ladder
         of compiled executables instead of one per distinct B."""
-        cfg = self.cfg
-        if not cfg.preprocess.random_crop and cfg.preprocess.src_hw is None:
-            import dataclasses
-            from video_analytics_tpu.ingest import slice_crop_source
-            wins, hw = slice_crop_source(
-                wins, cfg.preprocess.resize_short, cfg.preprocess.crop)
-            cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
-                cfg.preprocess, src_hw=hw))
+        from video_analytics_tpu.ingest import apply_transport_crop
+        wins, cfg = apply_transport_crop(wins, self.cfg)
         b, n = wins.shape[:2]
         bp = 1 << (b - 1).bit_length()
         if bp > b:
@@ -151,10 +139,15 @@ class ClipServer:
         normalised to one static shape when normalize=True."""
         from video_analytics_tpu.io.video import decode_snippet_windows
 
+        # repeat_short=True: short clips tile their single distinct
+        # window to the static (num_windows, ...) shape, so mixed-length
+        # clips stack into one fused batch (classify_paths) and every
+        # request reuses the same compiled executable.  The N identical
+        # windows mean to the same probs as the single window.
         wins = decode_snippet_windows(path, self.window,
                                       self.num_windows,
                                       max_frames=self.max_frames,
-                                      repeat_short=False)
+                                      repeat_short=True)
         if self.normalize:
             from video_analytics_tpu.ingest import host_normalize_square
             wins = np.stack([host_normalize_square(
@@ -206,12 +199,15 @@ class ClipServer:
         from video_analytics_tpu.ingest.prefetch import prefetch_clips
         failures: List = []
         loaded: Dict[str, np.ndarray] = {}
+        # Dedup: a path listed twice is decoded and classified once;
+        # results fan back out by path below.
+        uniq = list(dict.fromkeys(paths))
         for p, wins, _dt in prefetch_clips(
-                paths, self._load_windows, num_workers=2,
+                uniq, self._load_windows, num_workers=2,
                 error_log=failures):
             loaded[p] = wins
         errors = dict(failures)
-        oks = [p for p in paths if p in loaded]
+        oks = [p for p in uniq if p in loaded]
         probs_by_path: Dict[str, np.ndarray] = {}
         if oks:
             batch = np.stack([loaded[p] for p in oks])
