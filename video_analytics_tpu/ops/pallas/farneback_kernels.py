@@ -47,14 +47,55 @@ Plan = Tuple[Tuple[int, Tuple[float, ...]], ...]
 
 def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
     """x (Cin, N, M) → out (Cout, N, M): out[o] = corr(x[cin_o],
-    taps_o) along the sublane axis, replicate border."""
+    taps_o) along the sublane axis, replicate border.
+
+    Uniform taps (the winsize box window — Farneback's default and the
+    per-iteration hot loop) take a binary-doubling window-sum path:
+    partial sums of length 2^j are built once per input channel and the
+    k-window decomposes into ≤log2(k)+popcount(k) adds plus ONE scalar
+    multiply, vs k multiply-adds tap-by-tap (k=15 → 7 ops vs 15).  The
+    summation tree is a reordering of the same f32 adds; the cv2-parity
+    suite (bit-level flow gates) runs against it."""
     Cin, N, M = x_ref.shape
     x = x_ref[:]
     pad_ref[:, r:r + N, :] = x
     pad_ref[:, :r, :] = jnp.broadcast_to(x[:, :1, :], (Cin, r, M))
     pad_ref[:, r + N:, :] = jnp.broadcast_to(x[:, N - 1:, :],
                                              (Cin, r, M))
+    sums_cache = {}
+
+    def window_sums(cin: int, k: int):
+        """Doubled partial sums over pad[cin]: arrs[p][i] =
+        sum(pad[cin, i:i+p]); built lazily, shared across outputs."""
+        if cin in sums_cache:
+            return sums_cache[cin]
+        L = N + 2 * r
+        arrs = {1: pad_ref[cin, :, :]}
+        p = 1
+        while p * 2 <= k:
+            prev = arrs[p]
+            lp = L - (p - 1)
+            arrs[p * 2] = prev[:lp - p] + prev[p:lp]
+            p *= 2
+        sums_cache[cin] = arrs
+        return arrs
+
     for o, (cin, taps) in enumerate(plan):
+        k = len(taps)
+        if k >= 8 and all(t == taps[0] for t in taps):
+            arrs = window_sums(cin, k)
+            acc = None
+            off, rem = 0, k
+            p = max(arrs)
+            while p >= 1:
+                if rem >= p:
+                    seg = arrs[p][off:off + N]
+                    acc = seg if acc is None else acc + seg
+                    off += p
+                    rem -= p
+                p //= 2
+            out_ref[o] = float(taps[0]) * acc
+            continue
         acc = None
         for i, w in enumerate(taps):
             sl = pad_ref[cin, i:i + N, :]
@@ -90,10 +131,12 @@ def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
     B, Cin, N, M = x.shape
     r = max(len(t) for _, t in plan) // 2
     cout = len(plan)
-    # Empirical Mosaic cost model (see ops/pallas/warp._band_size).
+    # Empirical Mosaic cost model (see ops/pallas/warp._band_size);
+    # +4 plane units cover the binary-doubling partial sums the
+    # uniform-taps (box) kernel path keeps live per channel.
     budget = 14 * 1024 * 1024 // 4
     mp = -(-M // 128) * 128
-    band = budget // ((3 * (Cin + cout) + 2) * mp) - (2 * r + 8)
+    band = budget // ((3 * (Cin + cout) + 6) * mp) - (2 * r + 8)
     band = max(8, (band // 8) * 8)
     if N <= band:
         return _sep_corr_axis(x, plan)
