@@ -58,6 +58,8 @@ class DevicePrefetcher:
 
     def __init__(self, it: Iterable[Any], depth: int = 2,
                  device=None, sharding=None):
+        # `sharding` may be a Sharding or a callable array→Sharding
+        # (per-leaf placement, e.g. rank-dependent mesh shardings).
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._device = device
@@ -68,6 +70,10 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _place(self, x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x        # metadata leaves (ints, None, …) ride along
+        if callable(self._sharding):
+            return jax.device_put(x, self._sharding(x))
         if self._sharding is not None:
             return jax.device_put(x, self._sharding)
         if self._device is not None:

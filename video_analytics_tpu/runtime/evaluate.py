@@ -180,6 +180,13 @@ def evaluate_batched(records: List[ClipRecord], variables,
     # work) before the next batch could even be dispatched — deferring
     # the fetches lets dispatches pipeline on the device stream while
     # the decode workers keep feeding.
+    #
+    # Measured dead end (r3, keep it dead): staging the device_put on
+    # a separate DevicePrefetcher thread (decode ∥ transfer ∥ dispatch)
+    # REGRESSED clips/sec 27.9 → 17-18 on the 1-core host — the extra
+    # thread only adds GIL/scheduler contention, while device_put is
+    # already asynchronous from this consumer thread (the decode
+    # workers keep feeding through prefetch_clips' queue meanwhile).
     correct_parts: List = []
 
     def flush():
