@@ -68,6 +68,31 @@ def test_all_pallas_cv2_parity(rng):
     assert epe[8:-8, 8:-8].mean() < 0.01
 
 
+def test_sep_corr_mixed_uniform_windows(rng):
+    """One input channel correlated with TWO different uniform (box)
+    window lengths, smaller first: the binary-doubling window-sum
+    cache must grow for the later, larger window instead of silently
+    decomposing it over too-small partial sums."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        sep_corr2d_pallas)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 1, 40, 256))
+                    .astype(np.float32))
+    k_small, k_big = 9, 21
+    plan = ((0, tuple([1.0 / k_small] * k_small)),
+            (0, tuple([1.0 / k_big] * k_big)))
+    out = np.asarray(sep_corr2d_pallas(x, plan, ((0, (1.0,)),
+                                                 (1, (1.0,)))))
+    xn = np.asarray(x)[0, 0]
+    # The kernel pads by the plan-global radius r = max(k)//2 and
+    # applies EVERY output's taps at pad[row : row + k] — mirror that.
+    rg = k_big // 2
+    padded = np.pad(xn, ((rg, rg), (0, 0)), mode="edge")
+    for o, k in [(0, k_small), (1, k_big)]:
+        ref = np.stack([padded[i:i + k].mean(0) for i in
+                        range(xn.shape[0])])  # box corr along rows
+        np.testing.assert_allclose(out[0, o], ref, atol=1e-5)
+
+
 def test_fits_vmem():
     # Row-banding makes all realistic sizes fit.
     assert farneback_stage_fits_vmem(224, 224)

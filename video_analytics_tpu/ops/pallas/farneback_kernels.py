@@ -59,25 +59,27 @@ def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
     Cin, N, M = x_ref.shape
     x = x_ref[:]
     pad_ref[:, r:r + N, :] = x
-    pad_ref[:, :r, :] = jnp.broadcast_to(x[:, :1, :], (Cin, r, M))
-    pad_ref[:, r + N:, :] = jnp.broadcast_to(x[:, N - 1:, :],
-                                             (Cin, r, M))
+    if r:       # r == 0 (all-1-tap plan): no border, and Pallas
+                # rejects the empty border-write slices outright
+        pad_ref[:, :r, :] = jnp.broadcast_to(x[:, :1, :], (Cin, r, M))
+        pad_ref[:, r + N:, :] = jnp.broadcast_to(x[:, N - 1:, :],
+                                                 (Cin, r, M))
     sums_cache = {}
 
     def window_sums(cin: int, k: int):
         """Doubled partial sums over pad[cin]: arrs[p][i] =
-        sum(pad[cin, i:i+p]); built lazily, shared across outputs."""
-        if cin in sums_cache:
-            return sums_cache[cin]
+        sum(pad[cin, i:i+p]); built lazily, shared across outputs.
+        Grows an existing cache entry when a later output needs a
+        larger window (the binary decomposition below uses each power
+        at most once, so it needs powers up to the largest one ≤ k)."""
         L = N + 2 * r
-        arrs = {1: pad_ref[cin, :, :]}
-        p = 1
+        arrs = sums_cache.setdefault(cin, {1: pad_ref[cin, :, :]})
+        p = max(arrs)
         while p * 2 <= k:
             prev = arrs[p]
             lp = L - (p - 1)
             arrs[p * 2] = prev[:lp - p] + prev[p:lp]
             p *= 2
-        sums_cache[cin] = arrs
         return arrs
 
     for o, (cin, taps) in enumerate(plan):
