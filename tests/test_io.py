@@ -96,6 +96,46 @@ def test_snippet_windows_reject_lying_frame_count(tmp_path, monkeypatch):
     np.testing.assert_array_equal(wins, expected)
 
 
+def test_snippet_windows_multi_window_seek_path(tmp_path, monkeypatch):
+    """ADVICE r3 regressions (high + medium): the frame-count probe
+    leaves the demuxer mid-stream, so read_window must seek even for
+    start == 0.  Before the fix, (a) with max_frames clamping t the
+    first window silently contained frames [t, t+window) instead of
+    [0, window); (b) without max_frames the probe ended at EOF, so the
+    first window of every num_windows>1 call raised IOError and the
+    whole clip took the full-decode fallback — the seek fast path
+    never fired for multi-window requests."""
+    from video_analytics_tpu.io import video as vid
+
+    frames = moving_square_frames(num=40, h=64, w=80)
+    path = str(tmp_path / "clip.mp4")
+    synthesize_video(path, frames, fps=10.0)
+    with VideoReader(path) as r:
+        full = r.read_all()
+
+    # (a) max_frames clamps t to 20, windows of 5 at starts [0, 15].
+    wins = vid.decode_snippet_windows(path, window=5, num_windows=2,
+                                      max_frames=20)
+    np.testing.assert_array_equal(wins[0], full[0:5])
+    np.testing.assert_array_equal(wins[1], full[15:20])
+
+    # (b) the seek fast path must actually fire (no full decode) for a
+    # multi-window request whose windows cover <60% of the clip.
+    calls = []
+    orig_read_all = vid.VideoReader.read_all
+
+    def counting_read_all(self, max_frames=None):
+        calls.append(1)
+        return orig_read_all(self, max_frames=max_frames)
+
+    monkeypatch.setattr(vid.VideoReader, "read_all", counting_read_all)
+    wins = vid.decode_snippet_windows(path, window=6, num_windows=3)
+    assert not calls, "seek fast path fell back to full decode"
+    np.testing.assert_array_equal(wins[0], full[0:6])
+    np.testing.assert_array_equal(wins[1], full[17:23])
+    np.testing.assert_array_equal(wins[2], full[34:40])
+
+
 def test_flow_quantization():
     rng = np.random.default_rng(2)
     flow = rng.normal(0, 8, (17, 19, 2)).astype(np.float32)

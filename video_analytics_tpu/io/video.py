@@ -83,26 +83,32 @@ class VideoReader:
         """
         if start < 0 or count <= 0:
             raise ValueError(f"bad window [{start}, {start}+{count})")
-        if start > 0:
-            seek_ok = self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
-            pos = int(self._cap.get(cv2.CAP_PROP_POS_FRAMES))
-            if not seek_ok or pos != start:
-                # Rewind and grab-skip: exact for every backend — but
-                # seek was just proven unreliable here, so verify the
-                # rewind actually landed on frame 0 (reopen the
-                # container if not) before counting grabs from it.
-                self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
-                if int(self._cap.get(cv2.CAP_PROP_POS_FRAMES)) != 0:
-                    self._cap.release()
-                    self._cap = cv2.VideoCapture(self.path)
-                    if not self._cap.isOpened():
-                        raise IOError(
-                            f"could not reopen video: {self.path}")
-                for _ in range(start):
-                    if not self._cap.grab():
-                        raise IOError(
-                            f"could not skip to frame {start} "
-                            f"of {self.path}")
+        # Seek UNCONDITIONALLY, including start == 0: a prior probe
+        # (e.g. _frame_count_exact) may have moved the demuxer, so the
+        # current position cannot be assumed to be 0 for a fresh-looking
+        # read.  Skipping the seek for start == 0 silently returned
+        # frames [pos, pos+count) instead of [0, count) (ADVICE r3,
+        # high) or hit EOF and forced the full-decode fallback for
+        # every multi-window request (ADVICE r3, medium).
+        seek_ok = self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        pos = int(self._cap.get(cv2.CAP_PROP_POS_FRAMES))
+        if not seek_ok or pos != start:
+            # Rewind and grab-skip: exact for every backend — but
+            # seek was just proven unreliable here, so verify the
+            # rewind actually landed on frame 0 (reopen the
+            # container if not) before counting grabs from it.
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            if int(self._cap.get(cv2.CAP_PROP_POS_FRAMES)) != 0:
+                self._cap.release()
+                self._cap = cv2.VideoCapture(self.path)
+                if not self._cap.isOpened():
+                    raise IOError(
+                        f"could not reopen video: {self.path}")
+            for _ in range(start):
+                if not self._cap.grab():
+                    raise IOError(
+                        f"could not skip to frame {start} "
+                        f"of {self.path}")
         frames: List[np.ndarray] = []
         for _ in range(count):
             ok, bgr = self._cap.read()

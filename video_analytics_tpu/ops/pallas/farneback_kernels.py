@@ -133,12 +133,24 @@ def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
     B, Cin, N, M = x.shape
     r = max(len(t) for _, t in plan) // 2
     cout = len(plan)
-    # Empirical Mosaic cost model (see ops/pallas/warp._band_size);
-    # +4 plane units cover the binary-doubling partial sums the
-    # uniform-taps (box) kernel path keeps live per channel.
+    # Empirical Mosaic cost model (see ops/pallas/warp._band_size).
+    # The binary-doubling (uniform-tap/box) kernel path keeps its
+    # partial-sum cache live across the WHOLE output loop (sums_cache
+    # persists per input channel), so the allowance must scale with the
+    # plan: ~floor(log2(k)) partial-sum planes per distinct uniform-tap
+    # input channel (k=15 → 3 planes; update_flow's 5-channel box plan
+    # → 15 planes, not a flat 4 — ADVICE r3, low).  +2 covers the
+    # non-uniform path's acc/slice liveness.
+    uni_k = {}
+    for cin, taps in plan:
+        k = len(taps)
+        if k >= 8 and all(t == taps[0] for t in taps):
+            uni_k[cin] = max(uni_k.get(cin, 0), k)
+    cache_planes = sum(k.bit_length() - 1 for k in uni_k.values())
     budget = 14 * 1024 * 1024 // 4
     mp = -(-M // 128) * 128
-    band = budget // ((3 * (Cin + cout) + 6) * mp) - (2 * r + 8)
+    band = budget // ((3 * (Cin + cout) + 2 + cache_planes) * mp) \
+        - (2 * r + 8)
     band = max(8, (band // 8) * 8)
     if N <= band:
         return _sep_corr_axis(x, plan)

@@ -106,13 +106,31 @@ class AsyncCheckpointer:
         try:
             return self._ck.restore(
                 path, args=self._ocp.args.StandardRestore(template))
-        except Exception:
+        except Exception as e:
             prev = path + ".prev"
             if not os.path.isdir(prev):
                 raise
-            # Primary missing or torn (crash between rotate and
-            # commit): the rotated previous checkpoint is the last
-            # committed good state.
+            # Only fall back for the cases the rotation protocol is
+            # designed for — primary missing, or torn (crash between
+            # rotate and commit leaves orbax's uncommitted-tmp marker).
+            # Any OTHER failure (transient FS error, template mismatch)
+            # must surface, not silently hand back stale weights
+            # (ADVICE r3, low).
+            torn = (not os.path.isdir(path)
+                    or any(".orbax-checkpoint-tmp" in n or
+                           n == "NOT_FINALIZED"
+                           for n in os.listdir(path))
+                    or "checkpoint" in repr(e).lower()
+                    and ("tmp" in repr(e).lower()
+                         or "not found" in repr(e).lower()
+                         or "finali" in repr(e).lower()))
+            if not torn:
+                raise
+            import warnings
+            warnings.warn(
+                f"primary checkpoint {path} missing or torn "
+                f"({e!r}); restoring rotated previous checkpoint "
+                f"{prev}", RuntimeWarning)
             return self._ck.restore(
                 prev, args=self._ocp.args.StandardRestore(template))
 
