@@ -21,12 +21,12 @@ import os
 import sys
 
 
-def main() -> int:
-    process_id = int(sys.argv[1])
-    num_processes = int(sys.argv[2])
-    port = sys.argv[3]
-    local_devices = int(sys.argv[4])
-
+def bootstrap(process_id: int, num_processes: int, port: str,
+              local_devices: int):
+    """Shared multi-process test bootstrap: force CPU with
+    `local_devices` virtual devices, a private compilation cache, the
+    gloo collectives backend, and join the global runtime via
+    jax.distributed.initialize.  Returns the jax module."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -52,13 +52,23 @@ def main() -> int:
         num_processes=num_processes,
         process_id=process_id,
     )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return jax
+
+
+def main() -> int:
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = sys.argv[3]
+    local_devices = int(sys.argv[4])
+
+    jax = bootstrap(process_id, num_processes, port, local_devices)
 
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from video_analytics_tpu.parallel.mesh import (
         data_sharding, make_mesh, shard_dense_over_model)
 

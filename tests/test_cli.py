@@ -343,3 +343,36 @@ def test_tvl1_params_reach_algorithm(tmp_path, tiny_clip, capsys):
     a = read_flo(os.path.join(d1, "flow_000001.flo"))
     b = read_flo(os.path.join(d2, "flow_000001.flo"))
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_warmup_classify_precompiles_eval_executable(tmp_path, capsys):
+    """`tpuva warmup --surface classify` must compile the EXACT
+    executable `eval-ucf101 --batched` dispatches (VERDICT r3 weak #7):
+    after a warmup at matching geometry, the eval run adds no new entry
+    to the _batch_clip_metrics jit cache."""
+    from video_analytics_tpu.cli.main import main
+    from video_analytics_tpu.io.synthetic import build_synthetic_ucf101
+    from video_analytics_tpu.runtime.evaluate import _batch_clip_metrics
+
+    root = str(tmp_path / "ds")
+    build_synthetic_ucf101(root, num_classes=2, clips_per_class=2,
+                           num_frames=14, h=96, w=128)
+    common = ["--num-classes", "2", "--flow-stack", "3",
+              "--window", "6", "--crop", "56", "--resize-short", "64",
+              "--fb-levels", "0", "--fb-iterations", "1"]
+    rc = main(["warmup", "--surface", "classify",
+               "--algos", "farneback", "--src", "96x128",
+               "--batch-clips", "2", "--windows", "1"] + common)
+    assert rc == 0
+    capsys.readouterr()
+    n0 = _batch_clip_metrics._cache_size()
+    assert n0 >= 1
+    rc = main(["eval-ucf101", "--videos", f"{root}/videos",
+               "--annotations", f"{root}/annotations",
+               "--algo", "farneback", "--batched",
+               "--batch-clips", "2", "--windows", "1"] + common)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 2 and out["failed"] == 0
+    assert _batch_clip_metrics._cache_size() == n0, \
+        "eval-ucf101 --batched compiled a new executable after warmup"

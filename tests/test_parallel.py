@@ -229,3 +229,103 @@ def test_multiprocess_distributed():
     results = [l for o in outs for l in o.splitlines()
                if l.startswith("RESULT ")]
     assert len(results) == 2 and results[0] == results[1], outs
+
+
+def test_multiprocess_pod_eval(tmp_path):
+    """Pod-scale production drivers (VERDICT r3 next #1): two OS
+    processes × 4 virtual devices run a REAL `evaluate_batched` over
+    the synthetic UCF101 dataset with records round-robin-sharded
+    across processes — each process decodes only its shard and
+    contributes rows to the global batch via
+    jax.make_array_from_process_local_data; accuracy reduces on device
+    across the gloo process boundary.  Result must equal the
+    single-process run.  Also: 2 pod-assembled two-stream train steps
+    whose losses match the single-process references."""
+    import socket
+    import subprocess
+    import sys
+
+    from video_analytics_tpu.config import (FarnebackConfig,
+                                            PipelineConfig,
+                                            PreprocessConfig)
+    from video_analytics_tpu.io.synthetic import build_synthetic_ucf101
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+    from video_analytics_tpu.runtime.evaluate import evaluate_batched
+    from video_analytics_tpu.runtime.train_two_stream import (
+        build_examples, create_two_stream_states,
+        make_two_stream_train_steps)
+
+    # Build the dataset BEFORE spawning (the builder is idempotent but
+    # two processes racing the first build could tear an encode).
+    ds_root = str(tmp_path / "pod_ds")
+    ds = build_synthetic_ucf101(ds_root, num_classes=2,
+                                clips_per_class=3, num_frames=14,
+                                h=64, w=80, train_fraction=0.34)
+    records = ds.test_records()
+    assert len(records) == 4
+
+    # --- single-process references (must mirror the worker exactly:
+    # tests/distributed_eval_worker.py) -------------------------------
+    cfg = PipelineConfig(
+        flow_algo="farneback",
+        farneback=FarnebackConfig(levels=0, iterations=1),
+        window=6,
+        preprocess=PreprocessConfig(resize_short=64, crop=56,
+                                    flow_stack=5))
+    model = TwoStreamModel.create(num_classes=2, flow_stack=5, width=16)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    ref = evaluate_batched(records, variables, model, cfg,
+                           batch_clips=2, num_workers=1)
+    assert ref.total == 4 and ref.failed == 0
+
+    gB = 8
+    rng = np.random.default_rng(7)
+    gw = rng.integers(0, 255, (gB, 6, 64, 80, 3)).astype(np.uint8)
+    gy = rng.integers(0, 2, (gB,)).astype(np.int32)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    states = create_two_stream_states(model, variables, tx, "both")
+    steps = make_two_stream_train_steps(model, tx, "both")
+    key = jax.random.PRNGKey(3)
+    ref_metrics = {}
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        examples = build_examples(jnp.asarray(gw), sub, cfg, "both")
+        for name, step_fn in steps.items():
+            states[name], ref_metrics[name] = step_fn(
+                states[name], examples[name], jnp.asarray(gy))
+
+    # --- spawn the 2-process pod rig ----------------------------------
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__),
+                          "distributed_eval_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "JAX_COMPILATION_CACHE_DIR")}
+    env["PYTHONPATH"] = os.path.dirname(worker)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), "4", ds_root],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), outs
+
+    evals = [l for o in outs for l in o.splitlines()
+             if l.startswith("EVALRESULT ")]
+    assert len(evals) == 2 and evals[0] == evals[1], outs
+    total, correct, failed = map(int, evals[0].split()[1:])
+    assert (total, failed) == (ref.total, ref.failed), (evals, outs)
+    assert correct == ref.correct, (evals, ref.correct, outs)
+
+    trains = [l for o in outs for l in o.splitlines()
+              if l.startswith("TRAINRESULT ")]
+    assert len(trains) == 2 and trains[0] == trains[1], outs
+    rgb_loss, flow_loss = map(float, trains[0].split()[1:])
+    np.testing.assert_allclose(
+        rgb_loss, float(ref_metrics["rgb"]["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        flow_loss, float(ref_metrics["flow"]["loss"]), rtol=2e-4)

@@ -5,6 +5,15 @@ pairs/s cannot be weighed against TV-L1 without a quality table').
 Measures, per algorithm, on the SAME ground-truth pairs:
   - EPE on pure-affine motion (global translation + linear term)
   - EPE on moving-object motion (local_blobs=2 — the action-video regime)
+  - **held-out families the SpyNet training generator CANNOT produce**
+    (VERDICT r3 weak #4 — the affine/blobs rows are within SpyNet's
+    training distribution, so they alone would be circular):
+      * rotzoom — rotation+zoom with analytic ground truth (the
+        tests/test_tvl1.py anchor rig); the generator emits only
+        translation+linear-term affine and smooth Gaussian-blob fields.
+      * squares — occlusion-heavy textured squares translating over a
+        differently-textured static background: hard flow
+        discontinuities + genuinely occluded/disoccluded pixels.
   - pairs/s at 224x224 batch 16 (wall, grouped dispatch)
 
 Run on the TPU: `python tools/flow_quality.py [--spynet-checkpoint P]`
@@ -20,6 +29,65 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuva_jax_cache")
+
+
+def _rotzoom_batch(rng, batch, h, w):
+    """Rotation+zoom pairs with analytic GT: next(q) = prev(M q) →
+    flow(p) = M⁻¹p − p (tests/test_tvl1.py anchor convention).  Border
+    pixels rotate out of frame, so EPE is evaluated 12 px inside."""
+    import cv2
+    import numpy as np
+    from tests.fixtures import smooth_image
+
+    prevs, nxts, gts = [], [], []
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    for _ in range(batch):
+        img = smooth_image(rng, h, w, pad=0)
+        theta = np.deg2rad(rng.uniform(-2.5, 2.5))
+        s = rng.uniform(0.96, 1.06)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        R = s * np.array([[np.cos(theta), -np.sin(theta)],
+                          [np.sin(theta), np.cos(theta)]])
+        t = np.array([cx, cy]) - R @ np.array([cx, cy])
+        M = np.float32(np.hstack([R, t[:, None]]))
+        nxt = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_CUBIC
+                             | cv2.WARP_INVERSE_MAP)
+        Minv = np.linalg.inv(np.vstack([M, [0, 0, 1]]))
+        gt_x = Minv[0, 0] * xs + Minv[0, 1] * ys + Minv[0, 2] - xs
+        gt_y = Minv[1, 0] * xs + Minv[1, 1] * ys + Minv[1, 2] - ys
+        prevs.append(img)
+        nxts.append(nxt)
+        gts.append(np.stack([gt_x, gt_y], -1).astype(np.float32))
+    return (np.stack(prevs), np.stack(nxts), np.stack(gts))
+
+
+def _squares_batch(rng, batch, h, w, size=40):
+    """Occlusion-heavy pairs: a textured square translating (dx, dy)
+    over a DIFFERENTLY-textured static background.  GT flow is (dx, dy)
+    inside the prev-frame square and 0 elsewhere — including the
+    newly-occluded/disoccluded strips, where no algorithm can be exact;
+    that ambiguity is the point of the regime."""
+    import numpy as np
+    from tests.fixtures import smooth_image
+
+    prevs, nxts, gts = [], [], []
+    for _ in range(batch):
+        bg = smooth_image(rng, h, w, pad=0) * 0.55
+        tex = smooth_image(rng, size, size, blur=7, pad=0) * 0.5 + 120
+        dx = int(rng.choice([-6, -4, -3, 3, 4, 6]))
+        dy = int(rng.choice([-6, -4, -3, 3, 4, 6]))
+        x = int(rng.integers(12, w - size - 12 - abs(dx)))
+        y = int(rng.integers(12, h - size - 12 - abs(dy)))
+        prev = bg.copy()
+        prev[y:y + size, x:x + size] = tex
+        nxt = bg.copy()
+        nxt[y + dy:y + dy + size, x + dx:x + dx + size] = tex
+        gt = np.zeros((h, w, 2), np.float32)
+        gt[y:y + size, x:x + size] = (dx, dy)
+        prevs.append(prev.astype(np.float32))
+        nxts.append(nxt.astype(np.float32))
+        gts.append(gt)
+    return (np.stack(prevs), np.stack(nxts), np.stack(gts))
 
 
 def main():
@@ -68,6 +136,20 @@ def main():
                     jnp.sum((flow - gt) ** 2, -1) + 1e-12))
                 epes.append(float(epe))
             res[f"epe_{regime}"] = round(float(np.mean(epes)), 4)
+        # Held-out (out-of-training-distribution) families.
+        for regime, gen, crop in (("rotzoom", _rotzoom_batch, 12),
+                                  ("squares", _squares_batch, 0)):
+            rng = np.random.default_rng(123)
+            epes = []
+            for _ in range(max(1, args.val_batches // 2)):
+                prev, nxt, gt = gen(rng, args.batch, *hw)
+                flow = np.asarray(fn(jnp.asarray(prev),
+                                     jnp.asarray(nxt)))
+                e = np.sqrt(((flow - gt) ** 2).sum(-1) + 1e-12)
+                if crop:
+                    e = e[:, crop:-crop, crop:-crop]
+                epes.append(float(e.mean()))
+            res[f"epe_{regime}"] = round(float(np.mean(epes)), 4)
         # Throughput: grouped dispatch, perturbed inputs (see bench.py).
         key = jax.random.PRNGKey(5)
         prev, nxt, _ = synthetic_pair(key, args.batch, *hw,
@@ -87,11 +169,16 @@ def main():
 
     print(json.dumps({"hw": args.hw, "batch": args.batch,
                       "spynet_checkpoint": ckpt, **results}))
-    print("\n| algo | EPE affine | EPE blobs | pairs/s @224² |")
-    print("|---|---|---|---|")
+    print("\n| algo | EPE affine | EPE blobs | EPE rotzoom† | "
+          "EPE squares† | pairs/s @224² |")
+    print("|---|---|---|---|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r['epe_affine']} | {r['epe_blobs']} | "
+              f"{r['epe_rotzoom']} | {r['epe_squares']} | "
               f"{r['pairs_per_sec']} |")
+    print("\n† held-out: motion families the SpyNet training generator "
+          "cannot produce (rotation+zoom; occlusion-heavy moving "
+          "squares).")
 
 
 if __name__ == "__main__":

@@ -209,6 +209,31 @@ def _add_flow_args(p):
                     help="median kernel between warps (0/1/3/5)")
 
 
+def _maybe_init_distributed(args) -> None:
+    """Join a multi-host deployment when the launch flags are present:
+    ``--coordinator host:port --num-processes N --process-id I`` makes
+    this CLI process one host of a pod slice (jax.distributed), after
+    which make_mesh() spans every host's devices and the eval/train
+    drivers switch to per-process record shards assembled into global
+    batches (runtime.evaluate.evaluate_batched_multiprocess)."""
+    coord = getattr(args, "coordinator", None)
+    if not coord:
+        return
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=args.num_processes,
+        process_id=args.process_id)
+
+
+def _add_distributed_args(p) -> None:
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0; presence switches on "
+                        "multi-host (pod) mode via jax.distributed")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
 def _pipeline_config(args):
     """Build a PipelineConfig from the shared model/preprocess args
     (_add_model_args); fields not exposed keep their defaults."""
@@ -394,6 +419,7 @@ def cmd_eval_ucf101(args) -> int:
     from video_analytics_tpu.io.dataset import UCF101
     from video_analytics_tpu.runtime.evaluate import evaluate
 
+    _maybe_init_distributed(args)
     cfg = _pipeline_config(args)
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
@@ -462,6 +488,7 @@ def cmd_train(args) -> int:
     import dataclasses as _dc
 
     log = get_logger("tpuva.train")
+    _maybe_init_distributed(args)
     cfg = _pipeline_config(args)
     # Training-time augmentation: random crop always; horizontal flip
     # by default (UCF101 actions are flip-invariant) unless --no-flip
@@ -489,8 +516,28 @@ def cmd_train(args) -> int:
                    else None)
     key = jax.random.PRNGKey(args.seed)
     win = train_window_len(cfg)
+    # Pod mode (multi-host slice): each process samples windows from
+    # ITS OWN shard of the train records and contributes its rows to
+    # the global batch via jax.make_array_from_process_local_data —
+    # a single process cannot device_put a global batch it does not
+    # address (SURVEY §1b ingest; BASELINE config #5 pod-slice scale).
+    # The sampler always yields full local batches, so every process
+    # dispatches args.steps lockstep collective steps.
+    procs = jax.process_count()
+    if procs > 1:
+        from video_analytics_tpu.parallel.mesh import (
+            assemble_global_batch, global_batch_size,
+            process_local_records)
+        records = process_local_records(records)
+        global_b = global_batch_size(args.batch, mesh, procs)
+        local_b = global_b // procs
+        log.info("pod mode: process %d/%d, %d local records, "
+                 "global batch %d (local %d)", jax.process_index(),
+                 procs, len(records), global_b, local_b)
+    else:
+        local_b = args.batch
     sampler = TrainWindowSampler(
-        records, window=win, batch=args.batch, seed=args.seed,
+        records, window=win, batch=local_b, seed=args.seed,
         max_frames=args.max_frames, num_workers=args.num_workers,
         cache_dir=args.cache_dir)
 
@@ -501,16 +548,26 @@ def cmd_train(args) -> int:
         for i, (w_np, y_np) in enumerate(sampler.batches()):
             if i >= args.steps:
                 return
-            w_np, _ = pad_to_multiple(w_np, ddim)
-            y_np, _ = pad_to_multiple(y_np, ddim)
+            if procs == 1:
+                w_np, _ = pad_to_multiple(w_np, ddim)
+                y_np, _ = pad_to_multiple(y_np, ddim)
             yield w_np, y_np
 
+    def global_batches(it):
+        for w_np, y_np in it:
+            yield (assemble_global_batch(mesh, w_np, global_b),
+                   assemble_global_batch(mesh, y_np, global_b))
+
     sharding = NamedSharding(mesh, P("data"))
+    if procs > 1:
+        feed = DevicePrefetcher(global_batches(host_batches()), depth=2)
+    else:
+        feed = DevicePrefetcher(host_batches(), depth=2,
+                                sharding=sharding)
     metrics = None
     n_done = 0
     try:
-        for batch_w, y in DevicePrefetcher(host_batches(), depth=2,
-                                           sharding=sharding):
+        for batch_w, y in feed:
             key, sub = jax.random.split(key)
             examples = build_examples(batch_w, sub, cfg, args.stream,
                                       flow_variables=flow_params)
@@ -549,12 +606,22 @@ DEFAULT_WARMUP_SIZES = "240x320,360x480,480x640,720x1280,1080x1920"
 
 
 def cmd_warmup(args) -> int:
-    """Precompile the flow executables for a ladder of video sizes so
-    the minutes-long Mosaic first-touch cost is paid deliberately, once,
-    into the persistent compilation cache — instead of stalling the
-    first clip at each new bucket (VERDICT r2 weak #5).  Compiles the
-    exact programs `compute-flow` dispatches: the jitted compute_flow at
-    each size's bucketed shape, at the CLI's default batch."""
+    """Precompile executables into the persistent compilation cache so
+    the minutes-long Mosaic first-touch cost is paid deliberately, once
+    (VERDICT r2 weak #5).
+
+    ``--surface flow`` (default): the exact programs `compute-flow`
+    dispatches — the jitted compute_flow at each size's bucketed shape,
+    at the CLI's default batch.
+
+    ``--surface classify`` (VERDICT r3 weak #7): the classify
+    executables — `_batch_clip_metrics` at the `eval-ucf101 --batched`
+    default geometry (decode at --src resolution → host resize-short →
+    transport crop → batch of --batch-clips), and the serve/
+    classify-clip normalized-shape program (ClipServer.warmup) — so a
+    fresh process pays no Mosaic compile on first contact.
+
+    ``--surface all``: both."""
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -569,23 +636,73 @@ def cmd_warmup(args) -> int:
         h, w = tok.lower().split("x")
         sizes.append((int(h), int(w)))
     compiled = []
-    for algo in algos:
-        cfg = PipelineConfig(flow_algo=algo, farneback=fb, tvl1=tv)
-        fn = jax.jit(lambda a, b, _cfg=cfg: compute_flow(a, b, _cfg))
-        done = set()
-        for h, w in sizes:
-            bh, bw = bucket_hw(h, w)
-            if (bh, bw) in done:
-                continue
-            done.add((bh, bw))
-            x = jnp.zeros((args.batch, bh, bw), jnp.float32)
+    if args.surface in ("flow", "all"):
+        for algo in algos:
+            cfg = PipelineConfig(flow_algo=algo, farneback=fb, tvl1=tv)
+            fn = jax.jit(lambda a, b, _cfg=cfg: compute_flow(a, b, _cfg))
+            done = set()
+            for h, w in sizes:
+                bh, bw = bucket_hw(h, w)
+                if (bh, bw) in done:
+                    continue
+                done.add((bh, bw))
+                x = jnp.zeros((args.batch, bh, bw), jnp.float32)
+                t0 = _time.perf_counter()
+                fn(x, x).block_until_ready()
+                compiled.append({"algo": algo, "bucket": [bh, bw],
+                                 "secs": round(
+                                     _time.perf_counter() - t0, 2)})
+                print(f"warmed {algo} {bh}x{bw} in "
+                      f"{compiled[-1]['secs']}s", file=sys.stderr)
+    if args.surface in ("classify", "all"):
+        import dataclasses as _dc
+        from video_analytics_tpu.ingest import (host_resize_short,
+                                                slice_crop_source)
+        from video_analytics_tpu.parallel.mesh import make_mesh
+        from video_analytics_tpu.runtime.evaluate import warm_batched
+        from video_analytics_tpu.runtime.serve import ClipServer
+
+        sh, sw = (int(t) for t in args.src.lower().split("x"))
+        base_cfg = _pipeline_config(args)
+        model, variables = _default_two_stream(
+            args.num_classes, base_cfg.preprocess.flow_stack,
+            width=args.width,
+            input_hw=(base_cfg.preprocess.crop,) * 2, arch=args.arch)
+        win = max(base_cfg.window, base_cfg.preprocess.flow_stack + 1)
+        # Same mesh rule as cmd_eval_ucf101 — placement is part of the
+        # executable identity.
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        for algo in algos:
+            cfg = _dc.replace(base_cfg, flow_algo=algo)
+            # (a) the eval-ucf101 --batched program: reproduce the
+            # loader geometry (host resize-short + transport crop of a
+            # --src-resolution decode) so THIS is the executable the
+            # real run dispatches.
+            wins = np.zeros((args.windows, win, sh, sw, 3), np.uint8)
+            wins = np.stack([host_resize_short(
+                w, cfg.preprocess.resize_short) for w in wins])
+            wins, hw = slice_crop_source(
+                wins, cfg.preprocess.resize_short, cfg.preprocess.crop)
             t0 = _time.perf_counter()
-            fn(x, x).block_until_ready()
-            compiled.append({"algo": algo, "bucket": [bh, bw],
+            warm_batched(variables, model, cfg,
+                         window_shape=wins.shape, src_hw=hw,
+                         batch_clips=args.batch_clips, mesh=mesh)
+            compiled.append({"algo": algo, "surface": "eval-batched",
+                             "shape": [args.batch_clips]
+                             + list(wins.shape),
                              "secs": round(_time.perf_counter() - t0,
                                            2)})
-            print(f"warmed {algo} {bh}x{bw} in "
+            print(f"warmed {algo} eval-batched "
+                  f"{(args.batch_clips,) + wins.shape} in "
                   f"{compiled[-1]['secs']}s", file=sys.stderr)
+            # (b) the serve / classify-clip normalized-shape program.
+            server = ClipServer(model, variables, cfg,
+                                num_windows=args.windows)
+            secs = server.warmup()
+            compiled.append({"algo": algo, "surface": "serve",
+                             "secs": round(secs, 2)})
+            print(f"warmed {algo} serve in {secs:.2f}s",
+                  file=sys.stderr)
     print(json.dumps({"compiled": compiled,
                       "cache_dir": jax.config.jax_compilation_cache_dir}))
     return 0
@@ -842,6 +959,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "launches, mesh-sharded with on-device "
                          "accuracy reduction")
     ev.add_argument("--batch-clips", type=int, default=8)
+    _add_distributed_args(ev)
     _add_flow_args(ev)
     ev.set_defaults(fn=cmd_eval_ucf101)
 
@@ -875,6 +993,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "frames negates the flow u channel)")
     tr.add_argument("--init-checkpoint", default=None)
     tr.add_argument("--log-every", type=int, default=20)
+    _add_distributed_args(tr)
     _add_flow_args(tr)
     tr.set_defaults(fn=cmd_train)
 
@@ -905,6 +1024,21 @@ def build_parser() -> argparse.ArgumentParser:
     wu.add_argument("--batch", type=int, default=8,
                     help="must match compute-flow's --batch to share "
                          "its executable")
+    wu.add_argument("--surface", choices=["flow", "classify", "all"],
+                    default="flow",
+                    help="which executables to precompile: the "
+                         "compute-flow bucket ladder, the classify "
+                         "programs (eval-ucf101 --batched + serve), "
+                         "or both")
+    wu.add_argument("--src", default="240x320",
+                    help="assumed source video resolution for the "
+                         "classify-surface geometry (UCF101-native "
+                         "default)")
+    wu.add_argument("--batch-clips", type=int, default=8,
+                    help="must match eval-ucf101's --batch-clips")
+    wu.add_argument("--windows", type=int, default=1,
+                    help="must match eval-ucf101/serve's --windows")
+    _add_model_args(wu)
     _add_flow_args(wu)
     wu.set_defaults(fn=cmd_warmup)
     return p

@@ -72,6 +72,11 @@ class DevicePrefetcher:
     def _place(self, x):
         if not isinstance(x, (np.ndarray, jax.Array)):
             return x        # metadata leaves (ints, None, …) ride along
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # Already a global (multi-host) array — assembled upstream
+            # via make_array_from_process_local_data; re-device_put
+            # from one process would be both redundant and illegal.
+            return x
         if callable(self._sharding):
             return jax.device_put(x, self._sharding(x))
         if self._sharding is not None:

@@ -90,6 +90,44 @@ def shard_dense_over_model(variables, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, variables)
 
 
+def process_local_records(records, process_index: Optional[int] = None,
+                          process_count: Optional[int] = None):
+    """This process's shard of a global record list (round-robin, so
+    shard sizes differ by at most one).  The pod-scale driver contract
+    (SURVEY §1b ingest): each process decodes ONLY its own records and
+    contributes them to global batches via assemble_global_batch."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return list(records)[process_index::process_count]
+
+
+def global_batch_size(requested: int, mesh: Mesh,
+                      process_count: Optional[int] = None) -> int:
+    """Round a requested global batch up so it (a) shards evenly over
+    the mesh 'data' axis and (b) splits evenly across processes — the
+    two divisibility constraints of a pod-scale global batch."""
+    import math
+    if process_count is None:
+        process_count = jax.process_count()
+    ddim = int(mesh.devices.shape[0])
+    mult = ddim * process_count // math.gcd(ddim, process_count)
+    return ((requested + mult - 1) // mult) * mult
+
+
+def assemble_global_batch(mesh: Mesh, local: np.ndarray,
+                          global_rows: int) -> jax.Array:
+    """This process's (q, ...) host rows → the global (global_rows, ...)
+    array sharded over 'data' (each process contributes only the rows
+    its addressable devices hold — the multi-host ingest primitive;
+    single-process it degenerates to a plain sharded device_put)."""
+    local = np.asarray(local)
+    shape = (int(global_rows),) + tuple(local.shape[1:])
+    return jax.make_array_from_process_local_data(
+        data_sharding(mesh, local.ndim), local, shape)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     """Pad the leading axis up to a multiple (uneven final batches must
     still shard evenly); returns (padded, original_length)."""
