@@ -376,3 +376,37 @@ def test_warmup_classify_precompiles_eval_executable(tmp_path, capsys):
     assert out["total"] == 2 and out["failed"] == 0
     assert _batch_clip_metrics._cache_size() == n0, \
         "eval-ucf101 --batched compiled a new executable after warmup"
+
+
+def test_accuracy_parity_runbook_composition(tmp_path, capsys):
+    """The UCF101 accuracy-parity runbook (STATUS.md; VERDICT r3 next
+    #10) stays runnable end-to-end: the two commands for the day real
+    weights/data arrive are `convert-weights` then `eval-ucf101
+    --batched`, and this test wires exactly that composition on the
+    synthetic dataset — a torch state_dict on disk converts, loads as
+    the eval checkpoint, and the batched eval completes cleanly."""
+    import torch
+    from tests.torch_resnet import random_torch_resnet18
+    from video_analytics_tpu.io.synthetic import build_synthetic_ucf101
+
+    tm = random_torch_resnet18(seed=5)
+    pth = str(tmp_path / "rn18.pth")
+    torch.save(tm.state_dict(), pth)
+    ckpt = str(tmp_path / "two_stream.msgpack")
+    rc, res = run_cli(capsys, ["convert-weights", pth, ckpt,
+                               "--num-classes", "2"])
+    assert rc == 0 and res["spatial_leaves_converted"] == 100
+
+    root = str(tmp_path / "ds")
+    build_synthetic_ucf101(root, num_classes=2, clips_per_class=2,
+                           num_frames=14, h=96, w=128)
+    rc, out = run_cli(capsys, [
+        "eval-ucf101", "--videos", f"{root}/videos",
+        "--annotations", f"{root}/annotations",
+        "--checkpoint", ckpt, "--num-classes", "2",
+        "--algo", "farneback", "--batched", "--batch-clips", "2",
+        "--crop", "56", "--resize-short", "64", "--window", "6",
+        "--fb-levels", "0", "--fb-iterations", "1"])
+    assert rc == 0
+    assert out["total"] == 2 and out["failed"] == 0
+    assert 0.0 <= out["top1"] <= 1.0
