@@ -117,14 +117,18 @@ def _border_attenuation(h: int, w: int) -> jax.Array:
     return jnp.asarray(_border_attenuation_np(h, w))
 
 
-def _normal_equations(r0, r1w, dx, dy, inb, h, w):
-    """The shared cv2-parity core of update_matrices{,_cf}: per-pixel
-    normal-equation entries from the two images' poly planes (`r0`,
-    `r1w` are 5-tuples of (B, H, W) planes) — OOB branch, border
-    attenuation and the G/h products, returned as 5 planes.  Kept in
-    ONE place because the 0.5/0.25 factors and the OOB fallback were
-    derived empirically to bit-level cv2 parity; layout variants must
-    not be able to diverge."""
+def _normal_equations(r0, r1w, dx, dy, inb, att):
+    """The shared cv2-parity core of update_matrices{,_cf} AND the
+    fused Pallas prologue (ops/pallas/farneback_kernels
+    ._neq_sep_corr_kernel): per-pixel normal-equation entries from the
+    two images' poly planes (`r0`, `r1w` are 5-tuples of plane arrays)
+    — OOB branch, border attenuation and the G/h products, returned as
+    5 planes.  Kept in ONE place because the 0.5/0.25 factors and the
+    OOB fallback were derived empirically to bit-level cv2 parity;
+    layout variants must not be able to diverge.  `att` is the
+    (broadcastable) border-attenuation plane
+    (cv2-style: entries within 5px of the frame are down-weighted so
+    the window average trusts interior pixels more)."""
     a11 = jnp.where(inb, (r0[2] + r1w[2]) * 0.5, r0[2])
     a22 = jnp.where(inb, (r0[3] + r1w[3]) * 0.5, r0[3])
     a12 = jnp.where(inb, (r0[4] + r1w[4]) * 0.25, r0[4] * 0.5)
@@ -133,9 +137,6 @@ def _normal_equations(r0, r1w, dx, dy, inb, h, w):
     dbx = (r0[0] - b1w) * 0.5 + a11 * dx + a12 * dy
     dby = (r0[1] - b2w) * 0.5 + a12 * dx + a22 * dy
 
-    # cv2-style border attenuation: entries within 5px of the frame are
-    # down-weighted so the window average trusts interior pixels more.
-    att = _border_attenuation(h, w)[None]
     a11, a22, a12 = a11 * att, a22 * att, a12 * att
     dbx, dby = dbx * att, dby * att
 
@@ -198,7 +199,8 @@ def update_matrices(R0: jax.Array, R1: jax.Array,
     inb = _oob_mask(dx, dy, H, W)
     planes = _normal_equations(
         tuple(R0[..., i] for i in range(5)),
-        tuple(R1w[..., i] for i in range(5)), dx, dy, inb, H, W)
+        tuple(R1w[..., i] for i in range(5)), dx, dy, inb,
+        _border_attenuation(H, W)[None])
     return jnp.stack(planes, axis=-1)
 
 
@@ -219,8 +221,27 @@ def update_matrices_cf(R0: jax.Array, R1: jax.Array,
     inb = _oob_mask(dx, dy, H, W)
     planes = _normal_equations(
         tuple(R0[:, i] for i in range(5)),
-        tuple(R1w[:, i] for i in range(5)), dx, dy, inb, H, W)
+        tuple(R1w[:, i] for i in range(5)), dx, dy, inb,
+        _border_attenuation(H, W)[None])
     return jnp.stack(planes, axis=1)
+
+
+def _fused_iteration(R0: jax.Array, R1: jax.Array, flow_cf: jax.Array,
+                     cfg, band: Optional[int]) -> jax.Array:
+    """One channels-first Farneback iteration with M fused away:
+    banded Pallas warp → [normal equations + vertical window avg]
+    → [horizontal window avg + 2×2 solve] — M and the blurred planes
+    never touch HBM (ops/pallas/farneback_kernels
+    .update_flow_fused_pallas).  Same f32 math as update_matrices_cf +
+    update_flow_pallas."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        update_flow_fused_pallas)
+    from video_analytics_tpu.ops.pallas.warp import (
+        DEFAULT_BAND, pallas_warp_cf)
+
+    dx, dy = flow_cf[:, 0], flow_cf[:, 1]
+    R1w = pallas_warp_cf(R1, dx, dy, r=band or DEFAULT_BAND)
+    return update_flow_fused_pallas(R0, R1w, flow_cf, cfg)
 
 
 def _solve_flow(M: jax.Array) -> jax.Array:
@@ -337,8 +358,7 @@ def farneback(prev: jax.Array, nxt: jax.Array,
     # whole pyramid so the flow can stay CHANNELS-FIRST across levels
     # and iterations (no NHWC layout round trips between kernels).
     from video_analytics_tpu.ops.pallas.farneback_kernels import (
-        farneback_stage_fits_vmem, poly_expansion_pallas,
-        update_flow_pallas)
+        farneback_stage_fits_vmem, poly_expansion_pallas)
     from video_analytics_tpu.utils.platform import on_tpu
     fused = (use_pallas if use_pallas is not None else on_tpu()) \
         and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
@@ -374,20 +394,16 @@ def farneback(prev: jax.Array, nxt: jax.Array,
 
         band = _level_band(scale)
         if fused:
-            M = update_matrices_cf(R0, R1, flow, band=band)
+            for it in range(cfg.iterations):
+                flow = _fused_iteration(R0, R1, flow, cfg, band)
         else:
             M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
                                 band=band)
-        for it in range(cfg.iterations):
-            if fused:
-                flow = update_flow_pallas(M, cfg, cf=True)
-            else:
+            for it in range(cfg.iterations):
                 flow = _solve_flow(_blur_M(M, cfg))
-            if it < cfg.iterations - 1:
-                M = (update_matrices_cf(R0, R1, flow, band=band)
-                     if fused else
-                     update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                                     band=band))
+                if it < cfg.iterations - 1:
+                    M = update_matrices(R0, R1, flow,
+                                        use_pallas=use_pallas, band=band)
     return flow.transpose(0, 2, 3, 1) if fused else flow
 
 
@@ -415,8 +431,7 @@ def farneback_sequence(frames: jax.Array,
     sizes = _level_sizes(H, W, cfg)
 
     from video_analytics_tpu.ops.pallas.farneback_kernels import (
-        farneback_stage_fits_vmem, poly_expansion_pallas,
-        update_flow_pallas)
+        farneback_stage_fits_vmem, poly_expansion_pallas)
     from video_analytics_tpu.utils.platform import on_tpu
     fused = (use_pallas if use_pallas is not None else on_tpu()) \
         and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
@@ -440,18 +455,14 @@ def farneback_sequence(frames: jax.Array,
 
         band = _level_band(scale, envelope)
         if fused:
-            M = update_matrices_cf(R0, R1, flow, band=band)
+            for it in range(cfg.iterations):
+                flow = _fused_iteration(R0, R1, flow, cfg, band)
         else:
             M = update_matrices(R0, R1, flow, use_pallas=use_pallas,
                                 band=band)
-        for it in range(cfg.iterations):
-            if fused:
-                flow = update_flow_pallas(M, cfg, cf=True)
-            else:
+            for it in range(cfg.iterations):
                 flow = _solve_flow(_blur_M(M, cfg))
-            if it < cfg.iterations - 1:
-                M = (update_matrices_cf(R0, R1, flow, band=band)
-                     if fused else
-                     update_matrices(R0, R1, flow, use_pallas=use_pallas,
-                                     band=band))
+                if it < cfg.iterations - 1:
+                    M = update_matrices(R0, R1, flow,
+                                        use_pallas=use_pallas, band=band)
     return flow.transpose(0, 2, 3, 1) if fused else flow

@@ -30,7 +30,7 @@ reference in tests/test_pallas_farneback.py.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,8 @@ from video_analytics_tpu.utils.platform import pallas_interpret
 Plan = Tuple[Tuple[int, Tuple[float, ...]], ...]
 
 
-def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
+def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int,
+                     epilogue: Optional[str] = None):
     """x (Cin, N, M) → out (Cout, N, M): out[o] = corr(x[cin_o],
     taps_o) along the sublane axis, replicate border.
 
@@ -55,7 +56,15 @@ def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
     k-window decomposes into ≤log2(k)+popcount(k) adds plus ONE scalar
     multiply, vs k multiply-adds tap-by-tap (k=15 → 7 ops vs 15).  The
     summation tree is a reordering of the same f32 adds; the cv2-parity
-    suite (bit-level flow gates) runs against it."""
+    suite (bit-level flow gates) runs against it.
+
+    epilogue="solve2x2": the plan's 5 outputs are the window-averaged
+    normal-equation planes (g11, g12, g22, h1, h2); instead of writing
+    all 5 to HBM (and re-reading them for an XLA solve), the cv2
+    regularised 2×2 solve runs in-register and only the 2 flow
+    channels are written — the update_flow HBM-traffic cut the
+    roofline identified (flow is bandwidth-bound at 0.7 FLOP/B).
+    Identical f32 formula to flow.farneback._solve_flow."""
     Cin, N, M = x_ref.shape
     x = x_ref[:]
     pad_ref[:, r:r + N, :] = x
@@ -64,6 +73,26 @@ def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
         pad_ref[:, :r, :] = jnp.broadcast_to(x[:, :1, :], (Cin, r, M))
         pad_ref[:, r + N:, :] = jnp.broadcast_to(x[:, N - 1:, :],
                                                  (Cin, r, M))
+    if epilogue is None:
+        _plan_outputs(pad_ref, plan, r, N,
+                      emit=lambda o, res: out_ref.__setitem__(o, res))
+    elif epilogue == "solve2x2":
+        outs = []
+        _plan_outputs(pad_ref, plan, r, N,
+                      emit=lambda o, res: outs.append(res))
+        g11, g12, g22, h1, h2 = outs
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        out_ref[0] = (g22 * h1 - g12 * h2) * idet
+        out_ref[1] = (g11 * h2 - g12 * h1) * idet
+    else:
+        raise ValueError(f"unknown epilogue {epilogue!r}")
+
+
+def _plan_outputs(pad_ref, plan: Plan, r: int, N: int, emit) -> None:
+    """Per-plan-entry corr outputs over the replicate-padded scratch,
+    handed to `emit(o, res)` in order — shared by the generic sep-corr
+    kernel and the fused normal-equations kernel (both take the
+    binary-doubling window-sum fast path for uniform taps)."""
     sums_cache = {}
 
     def window_sums(cin: int, k: int):
@@ -96,23 +125,26 @@ def _sep_corr_kernel(x_ref, out_ref, pad_ref, *, plan: Plan, r: int):
                     off += p
                     rem -= p
                 p //= 2
-            out_ref[o] = float(taps[0]) * acc
-            continue
-        acc = None
-        for i, w in enumerate(taps):
-            sl = pad_ref[cin, i:i + N, :]
-            term = float(w) * sl
-            acc = term if acc is None else acc + term
-        out_ref[o] = acc
+            res = float(taps[0]) * acc
+        else:
+            acc = None
+            for i, w in enumerate(taps):
+                sl = pad_ref[cin, i:i + N, :]
+                term = float(w) * sl
+                acc = term if acc is None else acc + term
+            res = acc
+        emit(o, res)
 
 
-def _sep_corr_axis(x: jax.Array, plan: Plan) -> jax.Array:
+def _sep_corr_axis(x: jax.Array, plan: Plan,
+                   epilogue: Optional[str] = None) -> jax.Array:
     """(B, Cin, N, M) → (B, Cout, N, M), correlation along axis 2."""
     B, Cin, N, M = x.shape
     r = max(len(t) for _, t in plan) // 2
-    cout = len(plan)
+    cout = 2 if epilogue == "solve2x2" else len(plan)
     return pl.pallas_call(
-        functools.partial(_sep_corr_kernel, plan=plan, r=r),
+        functools.partial(_sep_corr_kernel, plan=plan, r=r,
+                          epilogue=epilogue),
         grid=(B,),
         in_specs=[pl.BlockSpec((None, Cin, N, M), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -126,13 +158,16 @@ def _sep_corr_axis(x: jax.Array, plan: Plan) -> jax.Array:
     )(x.astype(jnp.float32))
 
 
-def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
+def _sep_corr_axis_any(x: jax.Array, plan: Plan,
+                       epilogue: Optional[str] = None) -> jax.Array:
     """_sep_corr_axis with automatic row-banding + halo for large
     shapes (same scheme as ops/pallas/warp.py: halo'd blocks, kernel
     unchanged, halo rows discarded)."""
     B, Cin, N, M = x.shape
     r = max(len(t) for _, t in plan) // 2
-    cout = len(plan)
+    # The epilogue keeps all plan outputs live before writing its 2
+    # flow channels, so the VMEM model must still count them.
+    cout = len(plan) + (2 if epilogue else 0)
     # Empirical Mosaic cost model (see ops/pallas/warp._band_size).
     # The binary-doubling (uniform-tap/box) kernel path keeps its
     # partial-sum cache live across the WHOLE output loop (sums_cache
@@ -153,7 +188,7 @@ def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
         - (2 * r + 8)
     band = max(8, (band // 8) * 8)
     if N <= band:
-        return _sep_corr_axis(x, plan)
+        return _sep_corr_axis(x, plan, epilogue)
     h = r
     outs = []
     for s in range(0, N, band):
@@ -164,19 +199,165 @@ def _sep_corr_axis_any(x: jax.Array, plan: Plan) -> jax.Array:
         if pad_top or pad_bot:
             blk = jnp.pad(blk, [(0, 0), (0, 0), (pad_top, pad_bot),
                                 (0, 0)], mode="edge")
-        out_b = _sep_corr_axis(blk, plan)
+        out_b = _sep_corr_axis(blk, plan, epilogue)
         outs.append(out_b[:, :, h:h + (e - s), :])
     return jnp.concatenate(outs, axis=2)
 
 
-def sep_corr2d_pallas(x: jax.Array, v_plan: Plan,
-                      h_plan: Plan) -> jax.Array:
+def sep_corr2d_pallas(x: jax.Array, v_plan: Plan, h_plan: Plan,
+                      h_epilogue: Optional[str] = None) -> jax.Array:
     """(B, Cin, H, W): vertical pass with v_plan, then horizontal pass
-    (via transpose) with h_plan → (B, Cout, H, W)."""
+    (via transpose) with h_plan → (B, Cout, H, W).  h_epilogue rides on
+    the horizontal pass (see _sep_corr_kernel): with "solve2x2" only
+    the 2 solved flow channels cross HBM after the h-pass instead of
+    the 5 normal-equation planes."""
     v = _sep_corr_axis_any(x, v_plan)                   # (B, Cv, H, W)
     vT = v.transpose(0, 1, 3, 2)                        # (B, Cv, W, H)
-    hT = _sep_corr_axis_any(vT, h_plan)                 # (B, Co, W, H)
+    hT = _sep_corr_axis_any(vT, h_plan, h_epilogue)     # (B, Co, W, H)
     return hT.transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Fused normal-equations + vertical corr (the per-iteration HBM cut)
+# ---------------------------------------------------------------------------
+
+
+def _neq_sep_corr_kernel(r0_ref, r1w_ref, flow_ref, inb_ref, att_ref,
+                         out_ref, pad_ref, *, taps, r: int):
+    """Normal-equations prologue + vertical window corr in ONE kernel:
+    the 5 M planes (flow.farneback._normal_equations — the single
+    cv2-parity implementation, called here under the Pallas tracer)
+    exist only in VMEM scratch, never in HBM.  The roofline (STATUS
+    r4) showed the Farneback iteration chain is bandwidth-bound at 0.7
+    FLOP/B; this removes M's HBM write+read (10 plane traversals per
+    iteration) from that chain.  `inb` is the cv2 OOB interior mask
+    precomputed host/XLA-side as f32 (elementwise on dx/dy, cheap);
+    `att` is the shared border-attenuation plane."""
+    from video_analytics_tpu.flow.farneback import _normal_equations
+
+    C, N, M = r0_ref.shape
+    r0 = r0_ref[:]
+    r1w = r1w_ref[:]
+    dx = flow_ref[0]
+    dy = flow_ref[1]
+    inb = inb_ref[:] != 0.0
+    att = att_ref[:]
+    m = _normal_equations(tuple(r0[i] for i in range(5)),
+                          tuple(r1w[i] for i in range(5)),
+                          dx, dy, inb, att)
+    for i in range(5):
+        pad_ref[i, r:r + N, :] = m[i]
+        if r:
+            pad_ref[i, :r, :] = jnp.broadcast_to(m[i][:1], (r, M))
+            pad_ref[i, r + N:, :] = jnp.broadcast_to(m[i][N - 1:],
+                                                     (r, M))
+    plan = tuple((c, taps) for c in range(5))
+    _plan_outputs(pad_ref, plan, r, N,
+                  emit=lambda o, res: out_ref.__setitem__(o, res))
+
+
+def _neq_corr_axis(r0, r1w, flow, inb, att, taps) -> jax.Array:
+    """(B, 5, N, M) poly pairs + (B, 2, N, M) flow + masks → (B, 5,
+    N, M) vertically window-averaged normal-equation planes."""
+    B, C, N, M = r0.shape
+    r = len(taps) // 2
+    f32 = jnp.float32
+    bspec = lambda c: pl.BlockSpec((None, c, N, M),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_neq_sep_corr_kernel, taps=taps, r=r),
+        grid=(B,),
+        in_specs=[bspec(5), bspec(5), bspec(2),
+                  pl.BlockSpec((None, N, M), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((N, M), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=bspec(5),
+        out_shape=jax.ShapeDtypeStruct((B, 5, N, M), f32),
+        scratch_shapes=[pltpu.VMEM((5, N + 2 * r, M), f32)],
+        interpret=pallas_interpret(),
+    )(r0.astype(f32), r1w.astype(f32), flow.astype(f32),
+      inb.astype(f32), att.astype(f32))
+
+
+def _neq_corr_axis_any(r0, r1w, flow, inb, att, taps) -> jax.Array:
+    """_neq_corr_axis with the same row-banding + halo scheme as
+    _sep_corr_axis_any (halo'd row blocks of every operand; the
+    prologue recomputes M on halo rows — exact, they are pure
+    elementwise)."""
+    B, C, N, M = r0.shape
+    r = len(taps) // 2
+    # VMEM model: the 13 input planes are consumed ONCE by the
+    # elementwise prologue and die before the corr loop (unlike the
+    # generic kernel, whose inputs stay live as the pad source), so
+    # they weigh 2× (operand + one live copy), not the empirical 3×;
+    # the pad scratch (5 ch), window-sum cache and ~8 prologue
+    # temporaries carry the 3× Mosaic factor.  Keeping 224² unbanded
+    # matters: banding splices 13 operand-slice copies per band into
+    # the chain, which measurably cancels the fusion's traffic win
+    # (r4 probe: flow_seq 31.8ms banded vs 22.8ms pre-fusion).
+    uni = len(taps) >= 8 and all(t == taps[0] for t in taps)
+    cache_planes = 5 * (len(taps).bit_length() - 1) if uni else 0
+    budget = 14 * 1024 * 1024 // 4
+    mp = -(-M // 128) * 128
+    band = budget // ((13 + 3 * 5 + 8 + 2 + cache_planes) * mp) \
+        - (2 * r + 8)
+    band = max(8, (band // 8) * 8)
+    if N <= band:
+        return _neq_corr_axis(r0, r1w, flow, inb, att, taps)
+    h = r
+    outs = []
+    for s in range(0, N, band):
+        e = min(s + band, N)
+        s0, e0 = max(s - h, 0), min(e + h, N)
+        pad_top, pad_bot = h - (s - s0), h - (e0 - e)
+        sl = lambda x, ax: jax.lax.slice_in_dim(x, s0, e0, axis=ax)
+        blks = [sl(r0, 2), sl(r1w, 2), sl(flow, 2), sl(inb, 1),
+                sl(att, 0)]
+        if pad_top or pad_bot:
+            def pad(x, ax):
+                cfgp = [(0, 0)] * x.ndim
+                cfgp[ax] = (pad_top, pad_bot)
+                return jnp.pad(x, cfgp, mode="edge")
+            blks = [pad(blks[0], 2), pad(blks[1], 2), pad(blks[2], 2),
+                    pad(blks[3], 1), pad(blks[4], 0)]
+        out_b = _neq_corr_axis(*blks, taps)
+        outs.append(out_b[:, :, h:h + (e - s), :])
+    return jnp.concatenate(outs, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_flow_fused_pallas(R0: jax.Array, R1w: jax.Array,
+                             flow_cf: jax.Array,
+                             cfg: FarnebackConfig) -> jax.Array:
+    """Channels-first fused flow update WITHOUT materializing M:
+    (B, 5, H, W) poly pair + warped pair + (B, 2, H, W) flow →
+    (B, 2, H, W) new flow.  Pipeline: OOB mask (XLA elementwise) →
+    [normal equations + vertical window avg] (one Pallas kernel) →
+    transpose → [horizontal window avg + 2×2 solve] (one Pallas
+    kernel) → transpose.  Numerically the same f32 ops as
+    update_matrices_cf + update_flow_pallas (the shared
+    _normal_equations/_solve formulas), minus 16 HBM plane traversals
+    per iteration."""
+    from video_analytics_tpu.flow.farneback import (
+        _border_attenuation, _oob_mask)
+    from video_analytics_tpu.ops.kernels import gaussian_kernel_1d
+
+    B, _, H, W = R0.shape
+    if cfg.gaussian_window:
+        m = cfg.winsize // 2
+        taps = tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
+    else:
+        taps = tuple([1.0 / cfg.winsize] * cfg.winsize)
+    dx, dy = flow_cf[:, 0], flow_cf[:, 1]
+    inb = _oob_mask(dx, dy, H, W).astype(jnp.float32)
+    att = _border_attenuation(H, W)
+    v = _neq_corr_axis_any(R0, R1w, flow_cf, inb, att, taps)
+    vT = v.transpose(0, 1, 3, 2)                        # (B, 5, W, H)
+    plan = tuple((c, taps) for c in range(5))
+    hT = _sep_corr_axis_any(vT, plan, epilogue="solve2x2")
+    return hT.transpose(0, 1, 3, 2)                     # (B, 2, H, W)
 
 
 # ---------------------------------------------------------------------------
@@ -229,13 +410,11 @@ def update_flow_pallas(M: jax.Array, cfg: FarnebackConfig,
     if not cf:
         Mcf = Mcf.transpose(0, 3, 1, 2)                 # (B, 5, H, W)
     plan = tuple((c, taps) for c in range(5))
-    blurred = sep_corr2d_pallas(Mcf, plan, plan)
-    g11, g12, g22, h1, h2 = (blurred[:, i] for i in range(5))
-    # cv2's regularised inverse (see flow.farneback._solve_flow).
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    fx = (g22 * h1 - g12 * h2) * idet
-    fy = (g11 * h2 - g12 * h1) * idet
-    return jnp.stack([fx, fy], axis=1 if cf else -1)
+    # cv2's regularised 2×2 solve runs INSIDE the horizontal pass
+    # (same f32 formula — see _sep_corr_kernel epilogue), so only 2
+    # channels cross HBM after the h-pass instead of 5.
+    flow = sep_corr2d_pallas(Mcf, plan, plan, h_epilogue="solve2x2")
+    return flow if cf else flow.transpose(0, 2, 3, 1)
 
 
 def farneback_stage_fits_vmem(h: int, w: int) -> bool:
