@@ -98,3 +98,35 @@ def test_fits_vmem():
     assert farneback_stage_fits_vmem(224, 224)
     assert farneback_stage_fits_vmem(240, 320)
     assert farneback_stage_fits_vmem(1080, 1920)
+
+
+def test_update_flow_fused_matches_composition():
+    """The fused [normal-eq + v-avg] → [h-avg + solve] kernel pair
+    (update_flow_fused_pallas) must equal the unfused composition
+    (_normal_equations in XLA → update_flow_pallas) — same f32
+    formulas, two tracers."""
+    import jax
+    import jax.numpy as jnp
+    from video_analytics_tpu.config import FarnebackConfig
+    from video_analytics_tpu.flow.farneback import (
+        _border_attenuation, _normal_equations, _oob_mask)
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        update_flow_fused_pallas, update_flow_pallas)
+
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 48, 64
+    R0 = jnp.asarray(rng.normal(0, 2, (B, 5, H, W)).astype(np.float32))
+    R1w = jnp.asarray(rng.normal(0, 2, (B, 5, H, W)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 3, (B, 2, H, W)).astype(np.float32))
+    for gaussian in (False, True):
+        cfg = FarnebackConfig(gaussian_window=gaussian, winsize=13)
+        dx, dy = flow[:, 0], flow[:, 1]
+        inb = _oob_mask(dx, dy, H, W)
+        M = jnp.stack(_normal_equations(
+            tuple(R0[:, i] for i in range(5)),
+            tuple(R1w[:, i] for i in range(5)), dx, dy, inb,
+            _border_attenuation(H, W)[None]), axis=1)
+        ref = np.asarray(update_flow_pallas(M, cfg, cf=True))
+        out = np.asarray(update_flow_fused_pallas(R0, R1w, flow, cfg))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5,
+                                   err_msg=f"gaussian={gaussian}")
