@@ -244,6 +244,56 @@ def _fused_iteration(R0: jax.Array, R1: jax.Array, flow_cf: jax.Array,
     return update_flow_fused_pallas(R0, R1w, flow_cf, cfg)
 
 
+def _window_taps(cfg: FarnebackConfig):
+    """1D window-average taps (box, or Gaussian with
+    OPTFLOW_FARNEBACK_GAUSSIAN) as a static tuple."""
+    if cfg.gaussian_window:
+        m = cfg.winsize // 2
+        return tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
+    return tuple([1.0 / cfg.winsize] * cfg.winsize)
+
+
+def _wspace_ok(lh: int, lw: int, band: int, cfg: FarnebackConfig) -> bool:
+    """Gate for the W-space fused iteration (r4): the single fused
+    [col-warp + neq + corr] block must fit VMEM."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        warp_neq_corr_fits)
+    r = max(1, min(band, lh - 2, lw - 2))
+    return warp_neq_corr_fits(lh, lw, r, cfg.winsize)
+
+
+def _fused_iteration_wspace(R0T: jax.Array, R1: jax.Array,
+                            flow_cf: jax.Array, cfg,
+                            band: Optional[int]) -> jax.Array:
+    """One channels-first Farneback iteration with BOTH R1w and M fused
+    away (r4): row-pass warp (H-space) → transpose → [col-pass warp +
+    normal equations + horizontal window avg] (one W-space kernel,
+    ops/pallas/farneback_kernels.warp_neq_corr_pallas) → transpose →
+    [vertical window avg + 2×2 solve].  `R0T` is the (B, 5, W, H)
+    transposed expansion of the first image (poly layout "cf_t").
+
+    Same per-pixel f32 ops as _fused_iteration; the only numeric
+    difference is the order of the two separable window-average passes
+    (horizontal first), a pure f32 accumulation reorder — equivalence
+    is gated in tests/test_pallas_farneback.py."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        _sep_corr_axis_any, warp_neq_corr_pallas)
+    from video_analytics_tpu.ops.pallas.warp import (
+        DEFAULT_BAND, pallas_warp_v_cf)
+
+    B, _, H, W = R1.shape
+    r = max(1, min(band or DEFAULT_BAND, H - 2, W - 2))
+    mid = pallas_warp_v_cf(R1, flow_cf[:, 1], r=r)      # rows resolved
+    midT = mid.transpose(0, 1, 3, 2)                    # (B, 5, W, H)
+    flowT = flow_cf.transpose(0, 1, 3, 2)
+    attT = _border_attenuation(W, H)     # == _border_attenuation(H,W).T
+    taps = _window_taps(cfg)
+    hT = warp_neq_corr_pallas(midT, R0T, flowT, attT, taps, r=r)
+    hh = hT.transpose(0, 1, 3, 2)                       # (B, 5, H, W)
+    plan = tuple((c, taps) for c in range(5))
+    return _sep_corr_axis_any(hh, plan, epilogue="solve2x2")
+
+
 def _solve_flow(M: jax.Array) -> jax.Array:
     """2x2 solve with cv2's regularised inverse 1/(det + 1e-3).
 
@@ -383,7 +433,16 @@ def farneback(prev: jax.Array, nxt: jax.Array,
             flow = jax.image.resize(flow, fshape, method="linear",
                                     antialias=False) * (1.0 / cfg.pyr_scale)
 
-        if fused:
+        band = _level_band(scale)
+        wspace = fused and _wspace_ok(lh, lw, band, cfg)
+        if wspace:
+            # W-space fused iterations consume R0 transposed (free from
+            # the poly h-pass) and R1 channels-first.
+            R0T = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma,
+                                        layout="cf_t")
+            R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma,
+                                       cf=True)
+        elif fused:
             R0 = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma,
                                        cf=True)
             R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma,
@@ -392,8 +451,10 @@ def farneback(prev: jax.Array, nxt: jax.Array,
             R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
             R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
-        band = _level_band(scale)
-        if fused:
+        if wspace:
+            for it in range(cfg.iterations):
+                flow = _fused_iteration_wspace(R0T, R1, flow, cfg, band)
+        elif fused:
             for it in range(cfg.iterations):
                 flow = _fused_iteration(R0, R1, flow, cfg, band)
         else:
@@ -446,15 +507,28 @@ def farneback_sequence(frames: jax.Array,
             flow = jax.image.resize(flow, fshape, method="linear",
                                     antialias=False) * (1.0 / cfg.pyr_scale)
 
-        if fused:
+        band = _level_band(scale, envelope)
+        wspace = fused and _wspace_ok(lh, lw, band, cfg)
+        if wspace:
+            # Both layouts of the shared per-frame expansion: R1 slices
+            # the cf form, R0 the transposed form (one extra 5-plane
+            # transpose per level — cheaper than the R1w round trip it
+            # replaces).
+            R, RT = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma,
+                                          layout="cf_both")
+            R0T, R1 = RT[:-1], R[1:]
+        elif fused:
             R = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma,
                                       cf=True)
+            R0, R1 = R[:-1], R[1:]
         else:
             R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
-        R0, R1 = R[:-1], R[1:]
+            R0, R1 = R[:-1], R[1:]
 
-        band = _level_band(scale, envelope)
-        if fused:
+        if wspace:
+            for it in range(cfg.iterations):
+                flow = _fused_iteration_wspace(R0T, R1, flow, cfg, band)
+        elif fused:
             for it in range(cfg.iterations):
                 flow = _fused_iteration(R0, R1, flow, cfg, band)
         else:

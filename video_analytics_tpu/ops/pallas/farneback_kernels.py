@@ -205,16 +205,20 @@ def _sep_corr_axis_any(x: jax.Array, plan: Plan,
 
 
 def sep_corr2d_pallas(x: jax.Array, v_plan: Plan, h_plan: Plan,
-                      h_epilogue: Optional[str] = None) -> jax.Array:
+                      h_epilogue: Optional[str] = None,
+                      transposed_out: bool = False) -> jax.Array:
     """(B, Cin, H, W): vertical pass with v_plan, then horizontal pass
     (via transpose) with h_plan → (B, Cout, H, W).  h_epilogue rides on
     the horizontal pass (see _sep_corr_kernel): with "solve2x2" only
     the 2 solved flow channels cross HBM after the h-pass instead of
-    the 5 normal-equation planes."""
+    the 5 normal-equation planes.  transposed_out=True skips the final
+    layout restore and returns (B, Cout, W, H) — callers that consume
+    the transposed layout anyway (the W-space fused iteration's R0T)
+    save the round trip."""
     v = _sep_corr_axis_any(x, v_plan)                   # (B, Cv, H, W)
     vT = v.transpose(0, 1, 3, 2)                        # (B, Cv, W, H)
     hT = _sep_corr_axis_any(vT, h_plan, h_epilogue)     # (B, Co, W, H)
-    return hT.transpose(0, 1, 3, 2)
+    return hT if transposed_out else hT.transpose(0, 1, 3, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -361,32 +365,192 @@ def update_flow_fused_pallas(R0: jax.Array, R1w: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# W-space fused iteration tail: warp column pass + normal equations +
+# horizontal window average in ONE kernel (r4).
+#
+# The r4 roofline showed the Farneback iteration chain is HBM-bound at
+# 0.7 FLOP/B even after the neq fusion: the warped expansion R1w still
+# round-trips HBM (10 plane traversals/iteration) and the chain pays 4
+# layout transposes.  Observation: the warp's COLUMN pass, the
+# normal-equations build, and ONE of the two separable window-average
+# passes all operate in the transposed (B, C, W, H) layout — so they
+# fuse into a single kernel in which R1w and the un-averaged M planes
+# exist only in VMEM.  The window average commutes across its two
+# separable passes under replicate borders (identical terms, different
+# f32 summation order — corr_H∘corr_W ≡ corr_W∘corr_H with clipped
+# indexing), so running the horizontal pass first is a pure
+# accumulation-order change, gated by the same pipeline-level parity
+# tests as the rest of the fused path.
+#
+# New per-iteration chain (flow/farneback._fused_iteration):
+#   row-pass warp (H-space) → T → [col-pass warp + neq + corr-W]
+#   (this kernel) → T → [corr-H + 2×2 solve] (sep-corr epilogue)
+# vs the old: warp(v) → T → warp(h) → T → [neq+corr-v] → T →
+#   [corr-h+solve] → T — i.e. 10 fewer plane traversals and 2 fewer
+# transposes per iteration.
+#
+# No in-kernel op mixes lanes (the warp sweep and the window corr run
+# along the sublane axis; neq is elementwise), so the grid tiles the
+# LANE dim (original image rows) with no halo when VMEM demands it.
+# ---------------------------------------------------------------------------
+
+
+def _warp_neq_corr_kernel(midT_ref, r0T_ref, flowT_ref, attT_ref,
+                          out_ref, pad_ref, mpad_ref, *, taps,
+                          r: int, w_true: int, h_true: int, mc: int):
+    """One (C=5, W, Mc) lane-chunk block: column-pass banded warp of the
+    row-resampled expansion `midT`, cv2 normal equations vs `r0T`, and
+    the horizontal window average — all VMEM-resident.  Layout: sublane
+    = image column (x), lane = image row (y)."""
+    from video_analytics_tpu.flow.farneback import _normal_equations
+    from video_analytics_tpu.ops.pallas.warp import _select_lerp
+
+    C, N, M = midT_ref.shape
+    h = (pad_ref.shape[1] - N) // 2
+    x = midT_ref[:]
+    pad_ref[:, h:h + N, :] = x
+    pad_ref[:, :h, :] = jnp.broadcast_to(x[:, :1, :], (C, h, M))
+    pad_ref[:, h + N:, :] = jnp.broadcast_to(x[:, N - 1:, :], (C, h, M))
+
+    dxT = flowT_ref[0]
+    dyT = flowT_ref[1]
+    # Global pixel coordinates: sublane = column (whole axis in-block),
+    # lane = row (offset by the lane-chunk index).
+    j = pl.program_id(1)
+    # Mosaic requires integer iota; cast after.
+    xx = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0).astype(jnp.float32)
+    yy = (jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+          + j * mc).astype(jnp.float32)
+    # Column-pass offsets — the exact clamp/floor chain of
+    # pallas_warp_cf's column pass.
+    xs = jnp.clip(xx + dxT, 0.0, w_true - 1.0)
+    x0 = jnp.clip(jnp.floor(xs), 0.0, w_true - 2.0)
+    fx = xs - x0
+    offx = jnp.clip(x0 - xx, -r, r).astype(jnp.int32)
+    r1w = _select_lerp(lambda base: pad_ref[:, base:base + N + 8, :],
+                       offx, fx, (C, N, M), r, h)
+
+    # cv2's FarnebackUpdateMatrices interior test (_oob_mask), in
+    # transposed coordinates.
+    x1 = jnp.floor(xx + dxT)
+    y1 = jnp.floor(yy + dyT)
+    inb = (x1 >= 0) & (x1 < w_true - 1) & (y1 >= 0) & (y1 < h_true - 1)
+    m = _normal_equations(tuple(r0T_ref[i] for i in range(5)),
+                          tuple(r1w[i] for i in range(5)),
+                          dxT, dyT, inb, attT_ref[:])
+
+    rc = len(taps) // 2
+    for i in range(5):
+        mpad_ref[i, rc:rc + N, :] = m[i]
+        if rc:
+            mpad_ref[i, :rc, :] = jnp.broadcast_to(m[i][:1], (rc, M))
+            mpad_ref[i, rc + N:, :] = jnp.broadcast_to(m[i][N - 1:],
+                                                       (rc, M))
+    plan = tuple((c, taps) for c in range(5))
+    _plan_outputs(mpad_ref, plan, rc, N,
+                  emit=lambda o, res: out_ref.__setitem__(o, res))
+
+
+def _warp_neq_lane_chunk(w: int, h: int, r: int, rc: int) -> int:
+    """Largest 128-multiple lane-chunk whose block working set fits the
+    VMEM budget, or 0 when even a 128-lane chunk overflows (caller
+    falls back to the unfused chain).  Row accounting per chunk of Mc
+    lanes: double-buffered pipeline blocks (13 in + 5 out planes of N
+    sublanes ≈ 36N), pad scratch 5(N+2h), mpad 5(N+2rc), nine warp
+    T planes + accumulators 55N, window-sum cache 15N, neq/misc
+    temporaries ~18N → ≈ 134N + 10h + 10rc sublane rows of Mc lanes."""
+    N = w
+    rows = 134 * N + 10 * (r + 8) + 10 * rc
+    budget = 80 * 1024 * 1024 // 4
+    mc = budget // rows // 128 * 128
+    mp = -(-h // 128) * 128
+    return min(mc, mp)
+
+
+def warp_neq_corr_fits(h: int, w: int, r: int, winsize: int) -> bool:
+    return _warp_neq_lane_chunk(w, h, r, winsize // 2) >= 128
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "r"))
+def warp_neq_corr_pallas(midT: jax.Array, r0T: jax.Array,
+                         flowT: jax.Array, attT: jax.Array,
+                         taps: Tuple[float, ...], r: int) -> jax.Array:
+    """(B, 5, W, H) row-resampled expansion + transposed pair/flow →
+    (B, 5, W, H) horizontally window-averaged normal-equation planes.
+    The finishing vertical average + solve runs in H-space
+    (_sep_corr_axis_any epilogue="solve2x2")."""
+    B, C, W, H = midT.shape
+    rc = len(taps) // 2
+    mc = _warp_neq_lane_chunk(W, H, r, rc)
+    grid = (B, -(-H // mc))
+    f32 = jnp.float32
+    hh = r + 8
+    bspec = lambda c: pl.BlockSpec((None, c, W, mc),
+                                   lambda i, j: (i, 0, 0, j),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_warp_neq_corr_kernel, taps=taps, r=r,
+                          w_true=W, h_true=H, mc=mc),
+        grid=grid,
+        in_specs=[bspec(5), bspec(5), bspec(2),
+                  pl.BlockSpec((W, mc), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=bspec(5),
+        out_shape=jax.ShapeDtypeStruct((B, 5, W, H), f32),
+        scratch_shapes=[pltpu.VMEM((5, W + 2 * hh, mc), f32),
+                        pltpu.VMEM((5, W + 2 * rc, mc), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(midT.astype(f32), r0T.astype(f32), flowT.astype(f32),
+      attT.astype(f32))
+
+
+# ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n", "sigma", "cf"))
+@functools.partial(jax.jit, static_argnames=("n", "sigma", "cf",
+                                              "layout"))
 def poly_expansion_pallas(img: jax.Array, n: int, sigma: float,
-                          cf: bool = False) -> jax.Array:
-    """(B, H, W) → (B, H, W, 5) poly coefficients; two VMEM passes.
-    Matches flow.farneback.poly_expansion numerically.  With cf=True
-    returns channels-first (B, 5, H, W) — the kernel's native layout,
-    so the fused CF iteration chain skips the NHWC restack."""
+                          cf: bool = False, layout: str = ""):
+    """(B, H, W) → poly coefficients; two VMEM passes.  Matches
+    flow.farneback.poly_expansion numerically.
+
+    Layouts (``layout`` overrides ``cf`` when given):
+      ""/"nhwc": (B, H, W, 5); cf=True or "cf": channels-first
+      (B, 5, H, W) — the kernels' native layout; "cf_t": transposed
+      channels-first (B, 5, W, H) — what the W-space fused iteration
+      consumes for R0, obtained FREE (the sep-corr h-pass already ends
+      in this layout); "cf_both": (cf, cf_t) tuple — the sequence form
+      needs R1 in cf and R0 in cf_t, costing one 5-plane transpose
+      (cheaper than the 6-plane restore the plain cf path pays)."""
     from video_analytics_tpu.flow.farneback import _poly_exp_setup
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_setup(n, sigma)
     g, xg, xxg = tuple(map(float, g)), tuple(map(float, xg)), \
         tuple(map(float, xxg))
+    if not layout:
+        layout = "cf" if cf else "nhwc"
     # Vertical: (vg, vx, vxx); horizontal combos:
     # s1=vg·g sx=vg·xg sxx=vg·xxg sy=vx·g sxy=vx·xg syy=vxx·g
     v_plan = ((0, g), (0, xg), (0, xxg))
     h_plan = ((0, g), (0, xg), (0, xxg), (1, g), (1, xg), (2, g))
-    s = sep_corr2d_pallas(img[:, None], v_plan, h_plan)
+    s = sep_corr2d_pallas(img[:, None], v_plan, h_plan,
+                          transposed_out=layout in ("cf_t", "cf_both"))
     s1, sx, sxx, sy, sxy, syy = (s[:, i] for i in range(6))
     bx = sx * ig11
     by = sy * ig11
     cxx = s1 * ig03 + sxx * ig33
     cyy = s1 * ig03 + syy * ig33
     cxy = sxy * ig55
-    return jnp.stack([bx, by, cxx, cyy, cxy], axis=1 if cf else -1)
+    if layout == "nhwc":
+        return jnp.stack([bx, by, cxx, cyy, cxy], axis=-1)
+    R = jnp.stack([bx, by, cxx, cyy, cxy], axis=1)
+    if layout == "cf_t":
+        return R                                  # (B, 5, W, H)
+    if layout == "cf_both":
+        return R.transpose(0, 1, 3, 2), R         # (cf, cf_t)
+    return R                                      # "cf": (B, 5, H, W)
 
 
 # ---------------------------------------------------------------------------

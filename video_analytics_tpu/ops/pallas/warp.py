@@ -250,6 +250,34 @@ def _axis_warp_any(src: jax.Array, off: jax.Array, frac: jax.Array,
     return jnp.concatenate(outs, axis=2)
 
 
+def _v_offsets(dy: jax.Array, h: int, r: int):
+    """Vertical-pass (offset, frac) planes from the flow's dy — the
+    exact clamp/floor chain of pallas_warp_cf's row pass, factored out
+    so the W-space fused Farneback iteration (ops/pallas/
+    farneback_kernels.warp_neq_corr_pallas) can run the row resample
+    standalone and bit-identically."""
+    B = dy.shape[0]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (B,) + dy.shape[1:], 1)
+    ys = jnp.clip(yy + dy, 0.0, h - 1.0)
+    y0 = jnp.clip(jnp.floor(ys), 0.0, h - 2.0)
+    fy = ys - y0
+    off = jnp.clip(y0 - yy, -r, r).astype(jnp.int32)
+    return off, fy
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def pallas_warp_v_cf(img_cf: jax.Array, dy: jax.Array,
+                     r: int = DEFAULT_BAND) -> jax.Array:
+    """The ROW pass of pallas_warp_cf alone: (B, C, H, W) resampled
+    vertically by dy (B, H, W) → (B, C, H, W).  Bit-identical to the
+    first half of pallas_warp_cf; the fused Farneback iteration
+    completes the column pass inside its W-space kernel."""
+    B, C, H, W = img_cf.shape
+    r = max(1, min(r, H - 2, W - 2))
+    off, fy = _v_offsets(dy, H, r)
+    return _axis_warp_any(img_cf.astype(jnp.float32), off, fy, r)
+
+
 @functools.partial(jax.jit, static_argnames=("r",))
 def pallas_warp_cf(img_cf: jax.Array, dx: jax.Array, dy: jax.Array,
                    r: int = DEFAULT_BAND) -> jax.Array:
@@ -265,16 +293,12 @@ def pallas_warp_cf(img_cf: jax.Array, dx: jax.Array, dy: jax.Array,
     r = max(1, min(r, H - 2, W - 2))
     img_cf = img_cf.astype(jnp.float32)
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    ys = jnp.clip(yy + dy, 0.0, H - 1.0)
     xs = jnp.clip(xx + dx, 0.0, W - 1.0)
-    y0 = jnp.clip(jnp.floor(ys), 0.0, H - 2.0)
     x0 = jnp.clip(jnp.floor(xs), 0.0, W - 2.0)
-    fy = ys - y0
     fx = xs - x0
-    dy_off = jnp.clip(y0 - yy, -r, r).astype(jnp.int32)
     dx_off = jnp.clip(x0 - xx, -r, r).astype(jnp.int32)
+    dy_off, fy = _v_offsets(dy, H, r)
 
     mid = _axis_warp_any(img_cf, dy_off, fy, r)          # rows resolved
     midT = mid.transpose(0, 1, 3, 2)                     # (B, C, W, H)
