@@ -130,3 +130,72 @@ def test_update_flow_fused_matches_composition():
         out = np.asarray(update_flow_fused_pallas(R0, R1w, flow, cfg))
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5,
                                    err_msg=f"gaussian={gaussian}")
+
+
+def test_wspace_iteration_matches_fused():
+    """The W-space fused iteration (warp col-pass + normal equations +
+    h-window-avg in one kernel, then v-avg + solve) must equal the r3
+    fused iteration — same per-pixel f32 ops, horizontal-first window
+    averaging is a pure accumulation reorder."""
+    import jax.numpy as jnp
+    from video_analytics_tpu.config import FarnebackConfig
+    from video_analytics_tpu.flow.farneback import (
+        _fused_iteration, _fused_iteration_wspace, _wspace_ok)
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        poly_expansion_pallas)
+
+    rng = np.random.default_rng(7)
+    B, H, W = 2, 48, 64
+    I0 = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    I1 = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 3, (B, 2, H, W)).astype(np.float32))
+    band = 16
+    for gaussian, poly_n, sigma in ((False, 5, 1.2), (True, 5, 1.2),
+                                    (False, 7, 1.5)):
+        cfg = FarnebackConfig(gaussian_window=gaussian, poly_n=poly_n,
+                              poly_sigma=sigma, winsize=13)
+        assert _wspace_ok(H, W, band, cfg)
+        R0 = poly_expansion_pallas(I0, poly_n, sigma, cf=True)
+        R1 = poly_expansion_pallas(I1, poly_n, sigma, cf=True)
+        R0T = poly_expansion_pallas(I0, poly_n, sigma, layout="cf_t")
+        old = np.asarray(_fused_iteration(R0, R1, flow, cfg, band))
+        new = np.asarray(_fused_iteration_wspace(R0T, R1, flow, cfg,
+                                                 band))
+        np.testing.assert_allclose(
+            new, old, atol=2e-5, rtol=1e-5,
+            err_msg=f"gaussian={gaussian} poly_n={poly_n}")
+
+
+def test_poly_expansion_layouts(rng):
+    """cf_t is the transpose of cf; cf_both returns both consistently."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        poly_expansion_pallas)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 40, 56)).astype(np.float32))
+    R = np.asarray(poly_expansion_pallas(img, 5, 1.2, cf=True))
+    RT = np.asarray(poly_expansion_pallas(img, 5, 1.2, layout="cf_t"))
+    np.testing.assert_array_equal(RT, R.transpose(0, 1, 3, 2))
+    Rb, RTb = poly_expansion_pallas(img, 5, 1.2, layout="cf_both")
+    np.testing.assert_array_equal(np.asarray(Rb), R)
+    np.testing.assert_array_equal(np.asarray(RTb), RT)
+
+
+def test_warp_v_cf_is_row_pass():
+    """pallas_warp_v_cf with dx=0 completes to the same result as the
+    full separable warp (the column pass is then the identity)."""
+    from video_analytics_tpu.ops.pallas.warp import (
+        pallas_warp_cf, pallas_warp_v_cf)
+    rng = np.random.default_rng(3)
+    B, C, H, W = 1, 3, 40, 48
+    img = jnp.asarray(rng.uniform(0, 255, (B, C, H, W)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(0, 2, (B, H, W)).astype(np.float32))
+    zero = jnp.zeros((B, H, W), jnp.float32)
+    full = np.asarray(pallas_warp_cf(img, zero, dy, r=8))
+    vonly = np.asarray(pallas_warp_v_cf(img, dy, r=8))
+    np.testing.assert_allclose(vonly, full, atol=1e-6)
+
+
+def test_wspace_gate_rejects_1080p():
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        warp_neq_corr_fits)
+    assert not warp_neq_corr_fits(1080, 1920, 24, 15)
+    assert warp_neq_corr_fits(224, 224, 24, 15)
