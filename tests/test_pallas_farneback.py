@@ -199,3 +199,111 @@ def test_wspace_gate_rejects_1080p():
         warp_neq_corr_fits)
     assert not warp_neq_corr_fits(1080, 1920, 24, 15)
     assert warp_neq_corr_fits(224, 224, 24, 15)
+
+
+def test_tsolve_kernel_bitexact():
+    """corr_solve_from_T (in-kernel transpose + v-avg + solve) must be
+    BIT-exact to [XLA transpose → sep-corr solve2x2] — same f32 ops,
+    only the layout restore moves in-kernel."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        _sep_corr_axis_any, corr_solve_from_T_pallas)
+    rng = np.random.default_rng(11)
+    g = np.exp(-0.5 * (np.arange(-7, 8) / 2.1) ** 2)
+    for taps in (tuple([1.0 / 15] * 15),
+                 tuple(float(t) for t in g / g.sum())):
+        for (B, W, H) in ((2, 64, 48), (1, 96, 120)):
+            hT = jnp.asarray(
+                rng.normal(0, 2, (B, 5, W, H)).astype(np.float32))
+            new = np.asarray(corr_solve_from_T_pallas(hT, taps))
+            plan = tuple((c, taps) for c in range(5))
+            old = np.asarray(_sep_corr_axis_any(
+                hT.transpose(0, 1, 3, 2), plan, epilogue="solve2x2"))
+            np.testing.assert_array_equal(new, old)
+
+
+def test_tsolve_warp_kernel_matches():
+    """corr_solve_warp_from_T must emit flow ≡ corr_solve_from_T,
+    flowT ≡ flow.T, and midT ≡ pallas_warp_v_cf(R1, flow_y).T.  flow
+    and flowT compare EXACTLY.  midT gets a tolerance: in interpret
+    mode XLA-CPU duplicates the solve expression into its two
+    consumers (the flow store and the warp's offset chain) with
+    different FMA-contraction choices, and g11·h2 − g12·h1 cancels —
+    so the dy the in-kernel warp consumes can differ from the WRITTEN
+    dy by ~1e-5, amplified by the ~255 image magnitude in the lerp to
+    ~1e-3 on this random (worst-case-cancellation) data.  On real
+    hardware Mosaic computes the value once (end-to-end checksums
+    verified identical on the TPU), so the tolerance is an
+    interpret-mode artifact bound, not a kernel accuracy bound."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        corr_solve_from_T_pallas, corr_solve_warp_from_T_pallas)
+    from video_analytics_tpu.ops.pallas.warp import pallas_warp_v_cf
+    rng = np.random.default_rng(12)
+    taps = tuple([1.0 / 15] * 15)
+    for (B, W, H, r) in ((2, 120, 96, 24), (1, 56, 40, 8)):
+        hT = jnp.asarray(
+            rng.normal(0, 2, (B, 5, W, H)).astype(np.float32))
+        R1 = jnp.asarray(
+            rng.uniform(0, 255, (B, 5, H, W)).astype(np.float32))
+        flow, flowT, midT = corr_solve_warp_from_T_pallas(hT, R1, taps, r)
+        ref = corr_solve_from_T_pallas(hT, taps)
+        np.testing.assert_array_equal(np.asarray(flow), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(flowT),
+                                      np.asarray(ref.transpose(0, 1, 3, 2)))
+        mid_ref = pallas_warp_v_cf(R1, ref[:, 1], r=r)
+        np.testing.assert_allclose(
+            np.asarray(midT), np.asarray(mid_ref.transpose(0, 1, 3, 2)),
+            rtol=1e-5, atol=5e-3)
+
+
+def test_wspace_level_matches_per_iteration():
+    """The restructured level loop (_wspace_level: two kernels per
+    middle iteration) must equal iterating _fused_iteration_wspace
+    across levels/iterations/window types — same f32 formulas; only
+    interpret-mode FMA-contraction differences (see
+    test_tsolve_warp_kernel_matches) may show, bounded well below the
+    suite's cv2-parity gates."""
+    import importlib
+    fk = importlib.import_module(
+        "video_analytics_tpu.ops.pallas.farneback_kernels")
+    fb = importlib.import_module("video_analytics_tpu.flow.farneback")
+    from video_analytics_tpu.config import FarnebackConfig
+
+    rng = np.random.default_rng(13)
+    prev = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
+    for cfg in (FarnebackConfig(levels=2, iterations=3),
+                FarnebackConfig(levels=1, iterations=2,
+                                gaussian_window=True)):
+        new = np.asarray(fb.farneback(prev, nxt, cfg, use_pallas=True))
+        orig = fk.tsolve_warp_fits
+        fk.tsolve_warp_fits = lambda *a, **k: False
+        try:
+            old = np.asarray(fb.farneback(prev, nxt, cfg,
+                                          use_pallas=True))
+        finally:
+            fk.tsolve_warp_fits = orig
+        np.testing.assert_allclose(new, old, rtol=1e-5, atol=1e-3)
+
+
+def test_tsolve_banded_matches_whole(monkeypatch):
+    """The W-banded tsolve grid (wb < W, 128-multiple lane blocks) must
+    equal the whole-axis block bit-exactly — forced here by shrinking
+    the VMEM band model (real shapes band only at large W, e.g. the
+    512×640 CLI path)."""
+    import video_analytics_tpu.ops.pallas.farneback_kernels as fk
+    rng = np.random.default_rng(21)
+    taps = tuple([1.0 / 15] * 15)
+    hT = jnp.asarray(rng.normal(0, 2, (1, 5, 256, 48)).astype(np.float32))
+    whole = np.asarray(fk.corr_solve_from_T_pallas(hT, taps))
+    monkeypatch.setattr(fk, "_tsolve_wband", lambda *a: 128)
+    banded = np.asarray(fk.corr_solve_from_T_pallas(hT, taps))
+    np.testing.assert_array_equal(banded, whole)
+
+    R1 = jnp.asarray(rng.uniform(0, 255, (1, 5, 48, 256)).astype(np.float32))
+    monkeypatch.undo()
+    fw, fTw, mw = fk.corr_solve_warp_from_T_pallas(hT, R1, taps, 8)
+    monkeypatch.setattr(fk, "_tsolve_warp_wband", lambda *a: 128)
+    fb_, fTb, mb = fk.corr_solve_warp_from_T_pallas(hT, R1, taps, 8)
+    np.testing.assert_array_equal(np.asarray(fb_), np.asarray(fw))
+    np.testing.assert_array_equal(np.asarray(fTb), np.asarray(fTw))
+    np.testing.assert_array_equal(np.asarray(mb), np.asarray(mw))

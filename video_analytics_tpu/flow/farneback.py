@@ -277,7 +277,8 @@ def _fused_iteration_wspace(R0T: jax.Array, R1: jax.Array,
     (horizontal first), a pure f32 accumulation reorder — equivalence
     is gated in tests/test_pallas_farneback.py."""
     from video_analytics_tpu.ops.pallas.farneback_kernels import (
-        _sep_corr_axis_any, warp_neq_corr_pallas)
+        _sep_corr_axis_any, corr_solve_from_T_pallas, tsolve_fits,
+        warp_neq_corr_pallas)
     from video_analytics_tpu.ops.pallas.warp import (
         DEFAULT_BAND, pallas_warp_v_cf)
 
@@ -289,9 +290,54 @@ def _fused_iteration_wspace(R0T: jax.Array, R1: jax.Array,
     attT = _border_attenuation(W, H)     # == _border_attenuation(H,W).T
     taps = _window_taps(cfg)
     hT = warp_neq_corr_pallas(midT, R0T, flowT, attT, taps, r=r)
+    if tsolve_fits(W, H, cfg.winsize):
+        # Layout restore + vertical avg + solve in one kernel (the hT
+        # HBM transpose round trip drops out; bit-identical f32 ops).
+        return corr_solve_from_T_pallas(hT, taps)
     hh = hT.transpose(0, 1, 3, 2)                       # (B, 5, H, W)
     plan = tuple((c, taps) for c in range(5))
     return _sep_corr_axis_any(hh, plan, epilogue="solve2x2")
+
+
+def _wspace_level(R0T: jax.Array, R1: jax.Array, flow_cf: jax.Array,
+                  cfg, band: Optional[int]) -> jax.Array:
+    """All cfg.iterations W-space fused iterations of one pyramid
+    level.  Middle iterations run as just TWO kernels — the W-space
+    [col-warp + neq + h-avg] kernel and the [transpose + v-avg + solve
+    + next row-warp] kernel (corr_solve_warp_from_T_pallas) — so the
+    row-warp pass and both 5-plane layout transposes drop out of the
+    chain; the last iteration finishes with the solve-only tail.
+    Bit-identical per-pixel f32 ops to iterating
+    _fused_iteration_wspace (gated in tests/test_pallas_farneback.py);
+    falls back to it when the fused block exceeds VMEM."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        corr_solve_from_T_pallas, corr_solve_warp_from_T_pallas,
+        tsolve_fits, tsolve_warp_fits, warp_neq_corr_pallas)
+    from video_analytics_tpu.ops.pallas.warp import (
+        DEFAULT_BAND, pallas_warp_v_cf)
+
+    B, _, H, W = R1.shape
+    r = max(1, min(band or DEFAULT_BAND, H - 2, W - 2))
+    if not (tsolve_warp_fits(W, H, cfg.winsize, r)
+            and tsolve_fits(W, H, cfg.winsize)):
+        for _ in range(cfg.iterations):
+            flow_cf = _fused_iteration_wspace(R0T, R1, flow_cf, cfg,
+                                              band)
+        return flow_cf
+
+    taps = _window_taps(cfg)
+    attT = _border_attenuation(W, H)
+    mid = pallas_warp_v_cf(R1, flow_cf[:, 1], r=r)
+    midT = mid.transpose(0, 1, 3, 2)                    # (B, 5, W, H)
+    flowT = flow_cf.transpose(0, 1, 3, 2)
+    for it in range(cfg.iterations):
+        hT = warp_neq_corr_pallas(midT, R0T, flowT, attT, taps, r=r)
+        if it < cfg.iterations - 1:
+            flow_cf, flowT, midT = corr_solve_warp_from_T_pallas(
+                hT, R1, taps, r)
+        else:
+            flow_cf = corr_solve_from_T_pallas(hT, taps)
+    return flow_cf
 
 
 def _solve_flow(M: jax.Array) -> jax.Array:
@@ -452,8 +498,7 @@ def farneback(prev: jax.Array, nxt: jax.Array,
             R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
         if wspace:
-            for it in range(cfg.iterations):
-                flow = _fused_iteration_wspace(R0T, R1, flow, cfg, band)
+            flow = _wspace_level(R0T, R1, flow, cfg, band)
         elif fused:
             for it in range(cfg.iterations):
                 flow = _fused_iteration(R0, R1, flow, cfg, band)
@@ -526,8 +571,7 @@ def farneback_sequence(frames: jax.Array,
             R0, R1 = R[:-1], R[1:]
 
         if wspace:
-            for it in range(cfg.iterations):
-                flow = _fused_iteration_wspace(R0T, R1, flow, cfg, band)
+            flow = _wspace_level(R0T, R1, flow, cfg, band)
         elif fused:
             for it in range(cfg.iterations):
                 flow = _fused_iteration(R0, R1, flow, cfg, band)

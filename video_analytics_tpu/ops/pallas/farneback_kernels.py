@@ -507,6 +507,236 @@ def warp_neq_corr_pallas(midT: jax.Array, r0T: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# W-space iteration tail: in-kernel transpose + vertical window average
+# + 2×2 solve in ONE kernel (r4b).
+#
+# After the W-space fusion the iteration chain still pays an XLA
+# transpose of the 5 h-averaged planes (hT → hh) followed by a separate
+# sep-corr solve pass: 10 + 7 plane traversals.  Measured on the real
+# chip, the XLA 5-plane transpose at (64, 5, 224, 224) runs at only
+# ~93 GB/s (~11% of HBM peak) — transposes are the chain's most
+# bandwidth-inefficient step.  Mosaic supports in-register 2D f32
+# transposes (probed exact on v5e), so this kernel reads hT in W-major
+# blocks, transposes each tile in VMEM, runs the vertical window
+# average along the now-sublane image rows, and solves — 7 traversals
+# total, and the transpose rides VREG shuffles instead of HBM.
+# ---------------------------------------------------------------------------
+
+
+def _tsolve_kernel(hT_ref, out_ref, mpad_ref, *, taps, rc: int):
+    """(5, WB, H) h-averaged normal-equation planes (sublane = image
+    column, lane = image row) → (2, H, WB) solved flow.  Per channel:
+    in-register transpose → replicate-pad over image rows → the same
+    _plan_outputs window average as the sep-corr solve path → cv2
+    regularised 2×2 solve.  Bit-identical f32 ops to
+    [hT.transpose → _sep_corr_axis_any(epilogue="solve2x2")]."""
+    C, WB, H = hT_ref.shape
+    for c in range(C):
+        t = hT_ref[c].T                                  # (H, WB)
+        mpad_ref[c, rc:rc + H, :] = t
+        if rc:
+            mpad_ref[c, :rc, :] = jnp.broadcast_to(t[:1], (rc, WB))
+            mpad_ref[c, rc + H:, :] = jnp.broadcast_to(t[H - 1:],
+                                                       (rc, WB))
+    plan = tuple((c, taps) for c in range(5))
+    outs = []
+    _plan_outputs(mpad_ref, plan, rc, H,
+                  emit=lambda o, res: outs.append(res))
+    g11, g12, g22, h1, h2 = outs
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    out_ref[0] = (g22 * h1 - g12 * h2) * idet
+    out_ref[1] = (g11 * h2 - g12 * h1) * idet
+
+
+def _tsolve_wband(w: int, h: int, rc: int) -> int:
+    """Largest 8-multiple W-band (sublane rows of the hT block) whose
+    working set fits VMEM, or 0 when even 8 overflows.  Words per
+    W-band column of H lanes: double-buffered in blocks 2·5·Hp,
+    transposed tiles ~2·5·H, mpad 5·(H+2rc), window-sum cache
+    3·5·(H+2rc) (k=15 box), epilogue outs + temporaries ~8·H, out
+    blocks 2·2·H → ≈ 50·H + 20·rc words per sublane row with ~15%
+    Mosaic margin."""
+    hp = -(-h // 128) * 128
+    words_per_row = 50 * hp + 20 * rc
+    budget = int(80 * 1024 * 1024 // 4 / 1.15)
+    band = budget // words_per_row
+    return max(0, (band // 8) * 8)
+
+
+def tsolve_fits(w: int, h: int, winsize: int) -> bool:
+    # Banded blocks must be 128-multiples (wb is a LANE block on the
+    # flow output), so a model band under 128 only fits if the whole
+    # axis does.
+    return _tsolve_wband(w, h, winsize // 2) >= min(w, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("taps",))
+def corr_solve_from_T_pallas(hT: jax.Array,
+                             taps: Tuple[float, ...]) -> jax.Array:
+    """(B, 5, W, H) horizontally window-averaged normal-equation planes
+    (the W-space kernel's output layout) → (B, 2, H, W) solved flow,
+    with the layout restore, the vertical window average, and the 2×2
+    solve fused into one kernel (no HBM transpose round trip)."""
+    B, C, W, H = hT.shape
+    rc = len(taps) // 2
+    wb = _tsolve_wband(W, H, rc)
+    # Whole axis in one block when it fits (block == dim needs no
+    # alignment); otherwise 128-multiples (wb is both a sublane block
+    # on hT and a LANE block on the flow output — the fits gate
+    # guarantees wb >= 128 here).
+    wb = W if wb >= W else (wb // 128) * 128
+    grid = (B, -(-W // wb))
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_tsolve_kernel, taps=taps, rc=rc),
+        grid=grid,
+        in_specs=[pl.BlockSpec((None, 5, wb, H), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, 2, H, wb), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, H, W), f32),
+        scratch_shapes=[pltpu.VMEM((5, H + 2 * rc, wb), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(hT.astype(f32))
+
+
+# ---------------------------------------------------------------------------
+# W-space middle-iteration kernel: transpose + v-avg + solve + NEXT
+# iteration's row warp in ONE kernel (r4b).
+#
+# Every W-space iteration except the last feeds its solved flow
+# straight back into the next iteration's row-pass warp of R1 — three
+# more HBM passes (the warp kernel, the mid → midT transpose, and the
+# flow → flowT transpose) that all stay column-local: the row warp for
+# image column w gathers only over image rows of that same column, and
+# the solved flow tile is already in (rows, columns) register layout.
+# So the _tsolve_kernel extends to also read the R1 column slab, run
+# the exact pallas_warp_v_cf select-lerp on the just-solved dy, and
+# emit midT and flowT for the next W-space kernel — per middle
+# iteration this replaces 25 plane traversals (warp 11, transposes
+# 10+4) with 12 (R1 read 5, midT write 5, flowT write 2) and two
+# dispatches with zero.
+# ---------------------------------------------------------------------------
+
+
+def _tsolve_warp_kernel(hT_ref, r1_ref, flow_ref, flowT_ref, midT_ref,
+                        mpad_ref, wpad_ref, *, taps, rc: int, r: int,
+                        h_true: int):
+    """(5, WB, H) h-averaged neq planes + (5, H, WB) R1 column slab →
+    solved flow (2, H, WB) + flowT (2, WB, H) + row-warped R1 midT
+    (5, WB, H).  The solve half is _tsolve_kernel verbatim; the warp
+    half is pallas_warp_v_cf's exact _v_offsets clamp chain +
+    _select_lerp, with the halo replicate-padded in-kernel (full image
+    H is sublane-resident, so borders are the real image borders)."""
+    from video_analytics_tpu.ops.pallas.warp import _select_lerp
+
+    C, WB, H = hT_ref.shape
+    for c in range(C):
+        t = hT_ref[c].T                                  # (H, WB)
+        mpad_ref[c, rc:rc + H, :] = t
+        if rc:
+            mpad_ref[c, :rc, :] = jnp.broadcast_to(t[:1], (rc, WB))
+            mpad_ref[c, rc + H:, :] = jnp.broadcast_to(t[H - 1:],
+                                                       (rc, WB))
+    plan = tuple((c, taps) for c in range(5))
+    outs = []
+    _plan_outputs(mpad_ref, plan, rc, H,
+                  emit=lambda o, res: outs.append(res))
+    g11, g12, g22, h1, h2 = outs
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    flow_ref[0] = fx
+    flow_ref[1] = fy
+    flowT_ref[0] = fx.T
+    flowT_ref[1] = fy.T
+
+    hh = r + 8
+    x = r1_ref[:]
+    wpad_ref[:, hh:hh + H, :] = x
+    wpad_ref[:, :hh, :] = jnp.broadcast_to(x[:, :1, :], (C, hh, WB))
+    wpad_ref[:, hh + H:, :] = jnp.broadcast_to(x[:, H - 1:, :],
+                                               (C, hh, WB))
+    # _v_offsets, bit-identically (integer iota for Mosaic, then cast).
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, WB), 0) \
+        .astype(jnp.float32)
+    ys = jnp.clip(yy + fy, 0.0, h_true - 1.0)
+    y0 = jnp.clip(jnp.floor(ys), 0.0, h_true - 2.0)
+    fyv = ys - y0
+    off = jnp.clip(y0 - yy, -r, r).astype(jnp.int32)
+    mid = _select_lerp(lambda base: wpad_ref[:, base:base + H + 8, :],
+                       off, fyv, (C, H, WB), r, hh)
+    for c in range(C):
+        midT_ref[c] = mid[c].T
+
+
+def _tsolve_warp_wband(w: int, h: int, rc: int, r: int) -> int:
+    """Largest W-band for the solve+warp kernel.  Words per sublane row
+    (H lanes, padded hp): the _tsolve accounting ~50·hp + 20·rc, plus
+    the warp half — R1 blocks double-buffered 10·hp, wpad 5·(hp+2hh),
+    nine T planes + accumulators 55·hp, mid + midT transposes +
+    out blocks ~25·hp, offset/frac planes ~6·hp → ≈ 151·hp + 10·hh
+    + 20·rc with a 15% margin, against the same 80MB ceiling as the
+    sibling warp kernels (v5e has 128MB physical VMEM)."""
+    hp = -(-h // 128) * 128
+    hh = r + 8
+    words_per_row = 151 * hp + 10 * hh + 20 * rc
+    budget = int(80 * 1024 * 1024 // 4 / 1.15)
+    band = budget // words_per_row
+    return max(0, (band // 8) * 8)
+
+
+def tsolve_warp_fits(w: int, h: int, winsize: int, r: int) -> bool:
+    # Same 128-multiple constraint on banded blocks as tsolve_fits.
+    return _tsolve_warp_wband(w, h, winsize // 2, r) >= min(w, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "r"))
+def corr_solve_warp_from_T_pallas(hT: jax.Array, R1: jax.Array,
+                                  taps: Tuple[float, ...], r: int):
+    """(B, 5, W, H) h-averaged neq planes + (B, 5, H, W) second-image
+    expansion → (flow (B, 2, H, W), flowT (B, 2, W, H), midT
+    (B, 5, W, H)): the W-space iteration's finishing v-avg + solve AND
+    the next iteration's row-pass warp + layout transposes, fused.
+    flow/flowT are bit-identical to corr_solve_from_T_pallas (+
+    transpose); midT is bit-identical to
+    pallas_warp_v_cf(R1, flow[:, 1], r).transpose."""
+    B, C, W, H = hT.shape
+    rc = len(taps) // 2
+    wb = _tsolve_warp_wband(W, H, rc, r)
+    wb = W if wb >= W else (wb // 128) * 128
+    grid = (B, -(-W // wb))
+    f32 = jnp.float32
+    hh = r + 8
+    return pl.pallas_call(
+        functools.partial(_tsolve_warp_kernel, taps=taps, rc=rc, r=r,
+                          h_true=H),
+        grid=grid,
+        in_specs=[pl.BlockSpec((None, 5, wb, H), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 5, H, wb), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((None, 2, H, wb), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2, wb, H), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 5, wb, H), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, 2, H, W), f32),
+                   jax.ShapeDtypeStruct((B, 2, W, H), f32),
+                   jax.ShapeDtypeStruct((B, 5, W, H), f32)],
+        scratch_shapes=[pltpu.VMEM((5, H + 2 * rc, wb), f32),
+                        pltpu.VMEM((5, H + 2 * hh, wb), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(hT.astype(f32), R1.astype(f32))
+
+
+# ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
 
