@@ -307,3 +307,22 @@ def test_tsolve_banded_matches_whole(monkeypatch):
     np.testing.assert_array_equal(np.asarray(fb_), np.asarray(fw))
     np.testing.assert_array_equal(np.asarray(fTb), np.asarray(fTw))
     np.testing.assert_array_equal(np.asarray(mb), np.asarray(mw))
+
+
+def test_warp_emit_prologue_matches():
+    """warp_emit_T (level prologue: row warp + in-register transposes)
+    must emit flowT ≡ flow.T exactly and midT ≡ pallas_warp_v_cf(R1,
+    flow_y).T within interpret-mode FMA-contraction ulps."""
+    import video_analytics_tpu.ops.pallas.farneback_kernels as fk
+    from video_analytics_tpu.ops.pallas.warp import pallas_warp_v_cf
+    rng = np.random.default_rng(3)
+    B, H, W, r = 2, 96, 120, 24
+    R1 = jnp.asarray(rng.uniform(0, 255, (B, 5, H, W)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 3, (B, 2, H, W)).astype(np.float32))
+    flowT, midT = fk.warp_emit_T_pallas(R1, flow, r)
+    np.testing.assert_array_equal(np.asarray(flowT),
+                                  np.asarray(flow.transpose(0, 1, 3, 2)))
+    mid_ref = pallas_warp_v_cf(R1, flow[:, 1], r=r)
+    np.testing.assert_allclose(np.asarray(midT),
+                               np.asarray(mid_ref.transpose(0, 1, 3, 2)),
+                               rtol=1e-5, atol=5e-3)

@@ -312,9 +312,9 @@ def _wspace_level(R0T: jax.Array, R1: jax.Array, flow_cf: jax.Array,
     falls back to it when the fused block exceeds VMEM."""
     from video_analytics_tpu.ops.pallas.farneback_kernels import (
         corr_solve_from_T_pallas, corr_solve_warp_from_T_pallas,
-        tsolve_fits, tsolve_warp_fits, warp_neq_corr_pallas)
-    from video_analytics_tpu.ops.pallas.warp import (
-        DEFAULT_BAND, pallas_warp_v_cf)
+        tsolve_fits, tsolve_warp_fits, warp_emit_T_pallas,
+        warp_neq_corr_pallas)
+    from video_analytics_tpu.ops.pallas.warp import DEFAULT_BAND
 
     B, _, H, W = R1.shape
     r = max(1, min(band or DEFAULT_BAND, H - 2, W - 2))
@@ -327,9 +327,7 @@ def _wspace_level(R0T: jax.Array, R1: jax.Array, flow_cf: jax.Array,
 
     taps = _window_taps(cfg)
     attT = _border_attenuation(W, H)
-    mid = pallas_warp_v_cf(R1, flow_cf[:, 1], r=r)
-    midT = mid.transpose(0, 1, 3, 2)                    # (B, 5, W, H)
-    flowT = flow_cf.transpose(0, 1, 3, 2)
+    flowT, midT = warp_emit_T_pallas(R1, flow_cf, r)
     for it in range(cfg.iterations):
         hT = warp_neq_corr_pallas(midT, R0T, flowT, attT, taps, r=r)
         if it < cfg.iterations - 1:

@@ -736,6 +736,73 @@ def corr_solve_warp_from_T_pallas(hT: jax.Array, R1: jax.Array,
     )(hT.astype(f32), R1.astype(f32))
 
 
+def _warp_emit_kernel(r1_ref, flow_ref, flowT_ref, midT_ref, wpad_ref,
+                      *, r: int, h_true: int):
+    """Level-prologue variant of _tsolve_warp_kernel: row-pass warp of
+    the R1 column slab by the INITIAL flow (upsampled from the coarser
+    level, or zeros) + in-register transposes emitting midT/flowT for
+    the first W-space kernel — replacing the standalone warp pass and
+    both XLA layout transposes of the old prologue."""
+    from video_analytics_tpu.ops.pallas.warp import _select_lerp
+
+    C, H, WB = r1_ref.shape
+    hh = r + 8
+    x = r1_ref[:]
+    wpad_ref[:, hh:hh + H, :] = x
+    wpad_ref[:, :hh, :] = jnp.broadcast_to(x[:, :1, :], (C, hh, WB))
+    wpad_ref[:, hh + H:, :] = jnp.broadcast_to(x[:, H - 1:, :],
+                                               (C, hh, WB))
+    fx = flow_ref[0]
+    fy = flow_ref[1]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, WB), 0) \
+        .astype(jnp.float32)
+    ys = jnp.clip(yy + fy, 0.0, h_true - 1.0)
+    y0 = jnp.clip(jnp.floor(ys), 0.0, h_true - 2.0)
+    fyv = ys - y0
+    off = jnp.clip(y0 - yy, -r, r).astype(jnp.int32)
+    mid = _select_lerp(lambda base: wpad_ref[:, base:base + H + 8, :],
+                       off, fyv, (C, H, WB), r, hh)
+    for c in range(C):
+        midT_ref[c] = mid[c].T
+    flowT_ref[0] = fx.T
+    flowT_ref[1] = fy.T
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def warp_emit_T_pallas(R1: jax.Array, flow_cf: jax.Array, r: int):
+    """(B, 5, H, W) second-image expansion + (B, 2, H, W) initial flow
+    → (flowT (B, 2, W, H), midT (B, 5, W, H)): the W-space level
+    prologue in one kernel.  midT ≡ pallas_warp_v_cf(R1,
+    flow[:, 1], r).transpose; flowT is the exact transpose.  Shares
+    corr_solve_warp_from_T's VMEM band model (a strict over-estimate:
+    no solve half here)."""
+    B, C, H, W = R1.shape
+    wb = _tsolve_warp_wband(W, H, 0, r)
+    wb = W if wb >= W else (wb // 128) * 128
+    grid = (B, -(-W // wb))
+    f32 = jnp.float32
+    hh = r + 8
+    return pl.pallas_call(
+        functools.partial(_warp_emit_kernel, r=r, h_true=H),
+        grid=grid,
+        in_specs=[pl.BlockSpec((None, 5, H, wb), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 2, H, wb), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((None, 2, wb, H), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 5, wb, H), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, 2, W, H), f32),
+                   jax.ShapeDtypeStruct((B, 5, W, H), f32)],
+        scratch_shapes=[pltpu.VMEM((5, H + 2 * hh, wb), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(R1.astype(f32), flow_cf.astype(f32))
+
+
 # ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
