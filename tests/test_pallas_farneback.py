@@ -326,3 +326,42 @@ def test_warp_emit_prologue_matches():
     np.testing.assert_allclose(np.asarray(midT),
                                np.asarray(mid_ref.transpose(0, 1, 3, 2)),
                                rtol=1e-5, atol=5e-3)
+
+
+def test_level_kernel_matches_chain():
+    """The whole-level kernel (all iterations in one pallas_call) must
+    equal the two-kernel W-space chain — identical per-pixel f32
+    stages, so interpret mode compares bit-exactly here."""
+    import importlib
+    fk = importlib.import_module(
+        "video_analytics_tpu.ops.pallas.farneback_kernels")
+    fb = importlib.import_module("video_analytics_tpu.flow.farneback")
+    from video_analytics_tpu.config import FarnebackConfig
+
+    rng = np.random.default_rng(5)
+    prev = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
+    for cfg in (FarnebackConfig(levels=2, iterations=3),
+                FarnebackConfig(levels=1, iterations=2,
+                                gaussian_window=True)):
+        assert fk.level_kernel_fits(96, 120, 24, cfg.winsize)
+        new = np.asarray(fb.farneback(prev, nxt, cfg, use_pallas=True))
+        orig = fk.level_kernel_fits
+        fk.level_kernel_fits = lambda *a, **k: False
+        try:
+            old = np.asarray(fb.farneback(prev, nxt, cfg,
+                                          use_pallas=True))
+        finally:
+            fk.level_kernel_fits = orig
+        np.testing.assert_allclose(new, old, rtol=1e-5, atol=1e-3)
+
+
+def test_level_kernel_gates():
+    """The level kernel engages at the headline/CLI shapes and stays
+    off past VMEM."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        level_kernel_fits)
+    assert level_kernel_fits(224, 224, 24, 15)
+    assert level_kernel_fits(240, 320, 24, 15)
+    assert not level_kernel_fits(512, 640, 24, 15)
+    assert not level_kernel_fits(1080, 1920, 24, 15)

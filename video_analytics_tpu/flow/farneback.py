@@ -312,12 +312,21 @@ def _wspace_level(R0T: jax.Array, R1: jax.Array, flow_cf: jax.Array,
     falls back to it when the fused block exceeds VMEM."""
     from video_analytics_tpu.ops.pallas.farneback_kernels import (
         corr_solve_from_T_pallas, corr_solve_warp_from_T_pallas,
-        tsolve_fits, tsolve_warp_fits, warp_emit_T_pallas,
-        warp_neq_corr_pallas)
+        farneback_level_pallas, level_kernel_fits, tsolve_fits,
+        tsolve_warp_fits, warp_emit_T_pallas, warp_neq_corr_pallas)
     from video_analytics_tpu.ops.pallas.warp import DEFAULT_BAND
 
     B, _, H, W = R1.shape
     r = max(1, min(band or DEFAULT_BAND, H - 2, W - 2))
+    taps = _window_taps(cfg)
+    attT = _border_attenuation(W, H)
+
+    if level_kernel_fits(H, W, r, cfg.winsize):
+        # Whole level in ONE kernel: 16 HBM plane traversals per level
+        # instead of ~119 (farneback_level_pallas).
+        return farneback_level_pallas(R0T, R1, flow_cf, attT, taps, r,
+                                      cfg.iterations)
+
     if not (tsolve_warp_fits(W, H, cfg.winsize, r)
             and tsolve_fits(W, H, cfg.winsize)):
         for _ in range(cfg.iterations):
@@ -325,8 +334,6 @@ def _wspace_level(R0T: jax.Array, R1: jax.Array, flow_cf: jax.Array,
                                               band)
         return flow_cf
 
-    taps = _window_taps(cfg)
-    attT = _border_attenuation(W, H)
     flowT, midT = warp_emit_T_pallas(R1, flow_cf, r)
     for it in range(cfg.iterations):
         hT = warp_neq_corr_pallas(midT, R0T, flowT, attT, taps, r=r)

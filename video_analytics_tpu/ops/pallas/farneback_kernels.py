@@ -804,6 +804,184 @@ def warp_emit_T_pallas(R1: jax.Array, flow_cf: jax.Array, r: int):
 
 
 # ---------------------------------------------------------------------------
+# Whole-level Farneback kernel (r4b): ALL iterations of one pyramid
+# level in ONE kernel.
+#
+# At headline shapes (≤ ~288² per plane) the full working set of an
+# iteration — both poly expansions, the flow, the warp/select
+# machinery and the window-average scratches — fits VMEM at once.  The
+# lane-sweep ban that forced the W-space chain's kernel boundaries
+# dissolves once tiles can be transposed IN-REGISTER between stages
+# (Mosaic supports 2D f32 VREG transposes), so the whole iteration
+# loop runs inside one pallas_call with a fori_loop: per level the HBM
+# traffic collapses from ~119 plane traversals (two-kernel W-space
+# chain) to 16 — read R0T, R1, the initial flow and attT once, write
+# the final flow once — and per-iteration dispatch overhead vanishes.
+# The per-pixel f32 math is stage-for-stage identical to the W-space
+# chain (same _v_offsets / column clamp chains, same
+# _normal_equations, same _plan_outputs averages, same solve).
+# ---------------------------------------------------------------------------
+
+
+def _level_kernel(r0T_ref, r1_ref, flow0_ref, attT_ref, out_ref,
+                  wpad_ref, wpadT_ref, mpadT_ref, mpad_ref, flow_ref,
+                  *, taps, r: int, rc: int, iterations: int):
+    """One batch element's whole level: (5, W, H) R0T + (5, H, W) R1 +
+    (2, H, W) initial flow → (2, H, W) final flow after `iterations`
+    fused Farneback iterations, everything VMEM-resident."""
+    from video_analytics_tpu.flow.farneback import _normal_equations
+    from video_analytics_tpu.ops.pallas.warp import _select_lerp
+
+    C, H, W = r1_ref.shape
+    hh = r + 8
+    # R1 is constant across iterations: replicate-pad it once.
+    x = r1_ref[:]
+    wpad_ref[:, hh:hh + H, :] = x
+    wpad_ref[:, :hh, :] = jnp.broadcast_to(x[:, :1, :], (C, hh, W))
+    wpad_ref[:, hh + H:, :] = jnp.broadcast_to(x[:, H - 1:, :],
+                                               (C, hh, W))
+    flow_ref[:] = flow0_ref[:]
+    attT = attT_ref[:]
+    r0T = tuple(r0T_ref[i] for i in range(5))
+    plan = tuple((c, taps) for c in range(5))
+
+    yyH = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) \
+        .astype(jnp.float32)                 # sublane = image row
+    xxT = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0) \
+        .astype(jnp.float32)                 # sublane = image column
+    yyT = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1) \
+        .astype(jnp.float32)                 # lane    = image row
+
+    def body(_, carry):
+        fx = flow_ref[0]
+        fy = flow_ref[1]
+        # Row-pass warp (H-layout): pallas_warp_v_cf's exact chain.
+        ys = jnp.clip(yyH + fy, 0.0, H - 1.0)
+        y0 = jnp.clip(jnp.floor(ys), 0.0, H - 2.0)
+        fyv = ys - y0
+        offy = jnp.clip(y0 - yyH, -r, r).astype(jnp.int32)
+        mid = _select_lerp(
+            lambda base: wpad_ref[:, base:base + H + 8, :],
+            offy, fyv, (C, H, W), r, hh)
+        # To W-space in registers; pad for the column-pass warp.
+        for c in range(C):
+            t = mid[c].T
+            wpadT_ref[c, hh:hh + W, :] = t
+            wpadT_ref[c, :hh, :] = jnp.broadcast_to(t[:1], (hh, H))
+            wpadT_ref[c, hh + W:, :] = jnp.broadcast_to(t[W - 1:],
+                                                        (hh, H))
+        dxT = fx.T
+        dyT = fy.T
+        # Column-pass warp: warp_neq_corr's exact chain.
+        xs = jnp.clip(xxT + dxT, 0.0, W - 1.0)
+        x0 = jnp.clip(jnp.floor(xs), 0.0, W - 2.0)
+        fxv = xs - x0
+        offx = jnp.clip(x0 - xxT, -r, r).astype(jnp.int32)
+        r1w = _select_lerp(
+            lambda base: wpadT_ref[:, base:base + W + 8, :],
+            offx, fxv, (C, W, H), r, hh)
+        # cv2 interior test + normal equations, in transposed coords.
+        x1 = jnp.floor(xxT + dxT)
+        y1 = jnp.floor(yyT + dyT)
+        inb = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
+        m = _normal_equations(r0T, tuple(r1w[i] for i in range(5)),
+                              dxT, dyT, inb, attT)
+        # Horizontal window average (sublane sweep in W-space).
+        for i in range(5):
+            mpadT_ref[i, rc:rc + W, :] = m[i]
+            if rc:
+                mpadT_ref[i, :rc, :] = jnp.broadcast_to(m[i][:1],
+                                                        (rc, H))
+                mpadT_ref[i, rc + W:, :] = jnp.broadcast_to(
+                    m[i][W - 1:], (rc, H))
+        hTs = []
+        _plan_outputs(mpadT_ref, plan, rc, W,
+                      emit=lambda o, res: hTs.append(res))
+        # Back to H-layout in registers; vertical average + solve.
+        for i in range(5):
+            t = hTs[i].T
+            mpad_ref[i, rc:rc + H, :] = t
+            if rc:
+                mpad_ref[i, :rc, :] = jnp.broadcast_to(t[:1], (rc, W))
+                mpad_ref[i, rc + H:, :] = jnp.broadcast_to(t[H - 1:],
+                                                           (rc, W))
+        outs = []
+        _plan_outputs(mpad_ref, plan, rc, H,
+                      emit=lambda o, res: outs.append(res))
+        g11, g12, g22, h1, h2 = outs
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        flow_ref[0] = (g22 * h1 - g12 * h2) * idet
+        flow_ref[1] = (g11 * h2 - g12 * h1) * idet
+        return carry
+
+    jax.lax.fori_loop(0, iterations, body, 0)
+    out_ref[:] = flow_ref[:]
+
+
+def _level_kernel_planes(h: int, w: int, r: int, rc: int,
+                         taps_len: int) -> float:
+    """Peak working set of _level_kernel in units of max(h,w)²-f32
+    planes: pipeline blocks (13 in + 2 out, double-buffered ≈ 30),
+    persistent scratches wpad/wpadT 10(+2hh rows)/flow 2, per-stage
+    mpads 10(+2rc), nine select T planes ×5ch + accumulators 47 (live
+    through each of the two warps), window-sum cache ≈ 5·log2(k) ×2
+    passes' peak 15, transposed copies/neq temporaries ~25, offset/
+    mask planes ~8."""
+    cache = 5 * max(0, taps_len.bit_length() - 1)
+    return 30 + 12 + 10 + 47 + cache + 25 + 8 \
+        + (20 * (r + 8) + 20 * rc) / max(h, w)
+
+
+def level_kernel_fits(h: int, w: int, r: int, winsize: int) -> bool:
+    planes = _level_kernel_planes(h, w, r, winsize // 2, winsize)
+    # Planes exist in both layouts; charge the larger padded area
+    # (sublanes →8, lanes →128).
+    area_h = (-(-h // 8) * 8) * (-(-w // 128) * 128)
+    area_t = (-(-w // 8) * 8) * (-(-h // 128) * 128)
+    words = planes * max(area_h, area_t)
+    return words * 1.15 <= 80 * 1024 * 1024 // 4
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "r", "iterations"))
+def farneback_level_pallas(R0T: jax.Array, R1: jax.Array,
+                           flow0: jax.Array, attT: jax.Array,
+                           taps: Tuple[float, ...], r: int,
+                           iterations: int) -> jax.Array:
+    """(B, 5, W, H) R0 transposed expansion + (B, 5, H, W) R1 +
+    (B, 2, H, W) initial flow → (B, 2, H, W) flow after `iterations`
+    whole-level fused iterations (see _level_kernel)."""
+    B, C, H, W = R1.shape
+    rc = len(taps) // 2
+    f32 = jnp.float32
+    hh = r + 8
+    return pl.pallas_call(
+        functools.partial(_level_kernel, taps=taps, r=r, rc=rc,
+                          iterations=iterations),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, 5, W, H), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 5, H, W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 2, H, W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((W, H), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, 2, H, W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, H, W), f32),
+        scratch_shapes=[pltpu.VMEM((5, H + 2 * hh, W), f32),
+                        pltpu.VMEM((5, W + 2 * hh, H), f32),
+                        pltpu.VMEM((5, W + 2 * rc, H), f32),
+                        pltpu.VMEM((5, H + 2 * rc, W), f32),
+                        pltpu.VMEM((2, H, W), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(R0T.astype(f32), R1.astype(f32), flow0.astype(f32),
+      attT.astype(f32))
+
+
+# ---------------------------------------------------------------------------
 # Polynomial expansion
 # ---------------------------------------------------------------------------
 
