@@ -271,17 +271,25 @@ def test_wspace_level_matches_per_iteration():
     rng = np.random.default_rng(13)
     prev = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
     nxt = jnp.asarray(rng.uniform(0, 255, (2, 96, 120)).astype(np.float32))
+    # level_kernel_fits is forced off in BOTH arms (it would otherwise
+    # route both through farneback_level_pallas at this size, making
+    # the comparison vacuous — ADVICE r4): 'new' is the two-kernel
+    # chain, 'old' the iterated _fused_iteration_wspace fallback.
+    orig_level = fk.level_kernel_fits
+    orig_tsolve = fk.tsolve_warp_fits
     for cfg in (FarnebackConfig(levels=2, iterations=3),
                 FarnebackConfig(levels=1, iterations=2,
                                 gaussian_window=True)):
-        new = np.asarray(fb.farneback(prev, nxt, cfg, use_pallas=True))
-        orig = fk.tsolve_warp_fits
-        fk.tsolve_warp_fits = lambda *a, **k: False
         try:
+            fk.level_kernel_fits = lambda *a, **k: False
+            new = np.asarray(fb.farneback(prev, nxt, cfg,
+                                          use_pallas=True))
+            fk.tsolve_warp_fits = lambda *a, **k: False
             old = np.asarray(fb.farneback(prev, nxt, cfg,
                                           use_pallas=True))
         finally:
-            fk.tsolve_warp_fits = orig
+            fk.level_kernel_fits = orig_level
+            fk.tsolve_warp_fits = orig_tsolve
         np.testing.assert_allclose(new, old, rtol=1e-5, atol=1e-3)
 
 

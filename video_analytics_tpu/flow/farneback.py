@@ -247,10 +247,8 @@ def _fused_iteration(R0: jax.Array, R1: jax.Array, flow_cf: jax.Array,
 def _window_taps(cfg: FarnebackConfig):
     """1D window-average taps (box, or Gaussian with
     OPTFLOW_FARNEBACK_GAUSSIAN) as a static tuple."""
-    if cfg.gaussian_window:
-        m = cfg.winsize // 2
-        return tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
-    return tuple([1.0 / cfg.winsize] * cfg.winsize)
+    from video_analytics_tpu.ops.kernels import farneback_window_taps
+    return farneback_window_taps(cfg.winsize, cfg.gaussian_window)
 
 
 def _wspace_ok(lh: int, lw: int, band: int, cfg: FarnebackConfig) -> bool:

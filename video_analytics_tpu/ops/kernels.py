@@ -33,6 +33,17 @@ def gaussian_kernel_1d(sigma: float, n: Optional[int] = None) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+def farneback_window_taps(winsize: int, gaussian: bool):
+    """Farneback 1D window-average taps as a static tuple: the winsize
+    box window, or cv2's OPTFLOW_FARNEBACK_GAUSSIAN (σ = m·0.3 over
+    [-m, m], m = winsize//2).  Single source for a cv2-parity-sensitive
+    constant used by flow/farneback.py and the Pallas kernels."""
+    if gaussian:
+        m = winsize // 2
+        return tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
+    return tuple([1.0 / winsize] * winsize)
+
+
 def _conv1d(x: jax.Array, k: jax.Array, axis: int) -> jax.Array:
     """Correlate (B, H, W) with a 1D kernel along H (axis=1) or W
     (axis=2), VALID — caller handles padding.

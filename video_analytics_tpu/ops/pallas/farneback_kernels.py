@@ -346,14 +346,10 @@ def update_flow_fused_pallas(R0: jax.Array, R1w: jax.Array,
     per iteration."""
     from video_analytics_tpu.flow.farneback import (
         _border_attenuation, _oob_mask)
-    from video_analytics_tpu.ops.kernels import gaussian_kernel_1d
+    from video_analytics_tpu.ops.kernels import farneback_window_taps
 
     B, _, H, W = R0.shape
-    if cfg.gaussian_window:
-        m = cfg.winsize // 2
-        taps = tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
-    else:
-        taps = tuple([1.0 / cfg.winsize] * cfg.winsize)
+    taps = farneback_window_taps(cfg.winsize, cfg.gaussian_window)
     dx, dy = flow_cf[:, 0], flow_cf[:, 1]
     inb = _oob_mask(dx, dy, H, W).astype(jnp.float32)
     att = _border_attenuation(H, W)
@@ -482,6 +478,10 @@ def warp_neq_corr_pallas(midT: jax.Array, r0T: jax.Array,
     B, C, W, H = midT.shape
     rc = len(taps) // 2
     mc = _warp_neq_lane_chunk(W, H, r, rc)
+    if mc < 128:
+        raise ValueError(
+            f"warp_neq_corr_pallas: block for (W={W}, H={H}, r={r}, "
+            f"rc={rc}) exceeds VMEM — gate with warp_neq_corr_fits")
     grid = (B, -(-H // mc))
     f32 = jnp.float32
     hh = r + 8
@@ -1040,11 +1040,8 @@ def update_flow_pallas(M: jax.Array, cfg: FarnebackConfig,
     _solve_flow(_blur_M(M)) numerically.  With cf=True both sides are
     channels-first ((B, 5, H, W) → (B, 2, H, W)) and the layout
     round trips drop out of the iteration chain."""
-    if cfg.gaussian_window:
-        m = cfg.winsize // 2
-        taps = tuple(float(t) for t in gaussian_kernel_1d(m * 0.3, n=m))
-    else:
-        taps = tuple([1.0 / cfg.winsize] * cfg.winsize)
+    from video_analytics_tpu.ops.kernels import farneback_window_taps
+    taps = farneback_window_taps(cfg.winsize, cfg.gaussian_window)
     Mcf = M.astype(jnp.float32)
     if not cf:
         Mcf = Mcf.transpose(0, 3, 1, 2)                 # (B, 5, H, W)
