@@ -111,3 +111,60 @@ def test_wrong_channels_raises():
     variables = init_resnet(model, jax.random.PRNGKey(0), input_hw=(32, 32))
     with pytest.raises(ValueError):
         model.apply(variables, jnp.zeros((1, 32, 32, 5)))
+
+
+def test_fold_bn_parity(torch_model, flax_variables, rng):
+    """The folded-BN inference form (fold_bn=True model +
+    fold_batchnorm'd torch-converted weights) must match BOTH the
+    unfolded flax model and the torch oracle at the feature-parity
+    gate — the fold is an exact f32 affine composition, so the only
+    deviation is conv-epilogue rounding order."""
+    from video_analytics_tpu.models.convert import fold_batchnorm
+
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    folded_vars = fold_batchnorm(flax_variables)
+    assert "batch_stats" not in folded_vars
+    flat = jax.tree_util.tree_leaves(folded_vars)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    model = resnet18().clone(fold_bn=True)
+    ours = np.asarray(model.apply(folded_vars, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=4e-4, rtol=1e-4)
+    unfolded = np.asarray(resnet18().apply(flax_variables,
+                                           jnp.asarray(x)))
+    np.testing.assert_allclose(ours, unfolded, atol=4e-4, rtol=1e-4)
+
+
+def test_fold_bn_two_stream_classify(rng):
+    """TwoStreamModel.folded() + fold_variables: fused classify output
+    must match the unfolded model on random init variables with
+    non-trivial batch_stats injected."""
+    from video_analytics_tpu.models.two_stream import TwoStreamModel
+
+    model = TwoStreamModel.create(num_classes=7, flow_stack=3)
+    variables = model.init_variables(jax.random.PRNGKey(1),
+                                     input_hw=(64, 64))
+    # Random running stats so the fold is non-trivial.
+    def randomize(v):
+        stats = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                rng.uniform(0.5, 2.0, a.shape).astype(np.float32)),
+            v["batch_stats"])
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                rng.normal(0, 0.5, a.shape).astype(np.float32))
+            if a.ndim == 1 else a, v["params"])
+        return {"params": params, "batch_stats": stats}
+
+    variables = {k: randomize(v) for k, v in variables.items()}
+    frames = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3))
+                         .astype(np.float32))
+    stacks = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 6))
+                         .astype(np.float32))
+    ref = np.asarray(model.classify(variables, frames, stacks))
+    fm = model.folded()
+    fv = TwoStreamModel.fold_variables(variables)
+    out = np.asarray(fm.classify(fv, frames, stacks))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

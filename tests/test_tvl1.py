@@ -298,3 +298,92 @@ def test_median_selection_network(rng):
         t = rng.integers(0, 3, (3000, k2)).astype(np.float32)
         got_t = np.asarray(_median_select(jnp.asarray(t)))
         np.testing.assert_array_equal(got_t, np.median(t, axis=-1))
+
+
+def test_packed_solver_matches_single(rng):
+    """The lane-packed solver (r5: n images side by side along the
+    lane axis, amortising Mosaic's 128-lane padding) must match n
+    independent whole-plane solves.  With the ε exit disabled the two
+    programs run identical round counts and identical per-pixel f32
+    ops (the seam rolls are discarded by the same border selects), so
+    the comparison is gated at fp-contraction level like the banded
+    test; a second case engages the per-image ε gates + freeze path."""
+    from video_analytics_tpu.ops.pallas.tvl1_solve import (
+        tvl1_solve_warp, tvl1_solve_warp_packed)
+
+    B, H, W = 4, 40, 48
+    I1wx = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    I1wy = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    grad = I1wx ** 2 + I1wy ** 2
+    rho = jnp.asarray(rng.normal(0, 1, (B, H, W)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 0.5, (B, H, W)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, H, W)).astype(np.float32))
+    from video_analytics_tpu.flow.tvl1 import _pack_lanes, _unpack_lanes
+
+    for cfg, n in [
+            (TVL1Config(inner_iterations=6, outer_iterations=3,
+                        epsilon=1e-12, median_filtering=5), 2),
+            (TVL1Config(inner_iterations=6, outer_iterations=3,
+                        epsilon=1e-12, median_filtering=0), 4),
+            # per-image ε gates engage at different rounds
+            (TVL1Config(inner_iterations=4, outer_iterations=5,
+                        epsilon=0.05, median_filtering=5), 2),
+    ]:
+        u1, v1 = tvl1_solve_warp(I1wx, I1wy, grad, rho, u, v, cfg)
+        args = [_pack_lanes(x, n)
+                for x in (I1wx, I1wy, grad, rho, u, v)]
+        u2, v2 = tvl1_solve_warp_packed(*args, cfg, n_img=n, w_img=W)
+        u2 = _unpack_lanes(u2, n)
+        v2 = _unpack_lanes(v2, n)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   atol=1e-6, rtol=0)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-6, rtol=0)
+
+
+def test_packed_warp_bitexact(rng):
+    """pallas_warp_cf with w_img set (lane-packed planes) must equal
+    the per-image unpacked warp bit-exactly — only the offset planes
+    change, and every sample stays inside its own image."""
+    from video_analytics_tpu.flow.tvl1 import _pack_lanes, _unpack_lanes
+    from video_analytics_tpu.ops.pallas.warp import pallas_warp_cf
+
+    B, C, H, W, r = 4, 3, 40, 48, 9
+    img = jnp.asarray(rng.uniform(0, 255, (B, C, H, W))
+                      .astype(np.float32))
+    dx = jnp.asarray(rng.normal(0, 3, (B, H, W)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(0, 3, (B, H, W)).astype(np.float32))
+    ref = pallas_warp_cf(img, dx, dy, r=r)
+    for n in (2, 4):
+        pk = lambda x: jnp.stack(
+            [_pack_lanes(x[:, c], n) for c in range(C)], axis=1)
+        out = pallas_warp_cf(pk(img), _pack_lanes(dx, n),
+                             _pack_lanes(dy, n), r=r, w_img=W)
+        out = jnp.stack([_unpack_lanes(out[:, c], n)
+                         for c in range(C)], axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_packed_in_driver(rng):
+    """Full tvl1() with lane packing engaged (B=4, small plane: strict
+    lane gain at every level) vs the same content with packing forced
+    off — per-image results equal up to the ε-sum reduction order."""
+    import video_analytics_tpu.ops.pallas.tvl1_solve as ts
+
+    pairs = [smooth_pair(rng, 48, 56, dx=1.0 + 0.2 * i, dy=-0.5)
+             for i in range(4)]
+    f1 = np.stack([p[0] for p in pairs])
+    f2 = np.stack([p[1] for p in pairs])
+    cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                     inner_iterations=6, median_filtering=5)
+    assert ts.pack_choice(48, 56, 4, 5) > 1
+    packed = np.asarray(tvl1(jnp.asarray(f1), jnp.asarray(f2), cfg,
+                             use_pallas=True))
+    orig = ts.pack_choice
+    ts.pack_choice = lambda *a, **k: 1
+    try:
+        single = np.asarray(tvl1(jnp.asarray(f1), jnp.asarray(f2), cfg,
+                                 use_pallas=True))
+    finally:
+        ts.pack_choice = orig
+    np.testing.assert_allclose(packed, single, atol=1e-4, rtol=0)

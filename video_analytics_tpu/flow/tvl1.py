@@ -66,7 +66,7 @@ def _downscale(img: jax.Array, out_hw: Tuple[int, int],
 
 def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
                u: jax.Array, v: jax.Array, band: Optional[int] = None,
-               use_pallas: Optional[bool] = None):
+               use_pallas: Optional[bool] = None, w_img: int = 0):
     """Warp I1 and its gradients by the current flow (u, v).
 
     On TPU this is the Pallas banded warp (ops/pallas/warp.py — the
@@ -74,7 +74,8 @@ def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
     large for the kernel's VMEM working set, or with use_pallas=False
     (the `--exact` escape hatch), the exact XLA gather.  `band` scales
     the sweep to the pyramid level's displacement envelope (see
-    flow.farneback._level_band — same argument)."""
+    flow.farneback._level_band — same argument).  ``w_img`` > 0 marks
+    lane-packed planes (see _pack_lanes)."""
     from video_analytics_tpu.ops.pallas.warp import (
         DEFAULT_BAND, pallas_warp_cf, warp_fits_vmem)
     from video_analytics_tpu.utils.platform import on_tpu
@@ -86,13 +87,31 @@ def _warp_step(I1: jax.Array, I1x: jax.Array, I1y: jax.Array,
         # Channels-first stack (the kernel's native layout): the three
         # planes concatenate without an NHWC transpose round trip.
         w = pallas_warp_cf(jnp.stack([I1, I1x, I1y], axis=1), u, v,
-                           r=band or DEFAULT_BAND)
+                           r=band or DEFAULT_BAND, w_img=w_img)
         return w[:, 0], w[:, 1], w[:, 2]
+    assert not w_img, "packed planes require the Pallas warp"
     yy = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     w = bilinear_sample(jnp.stack([I1, I1x, I1y], axis=-1),
                         yy + v, xx + u)
     return w[..., 0], w[..., 1], w[..., 2]
+
+
+def _pack_lanes(x: jax.Array, n: int) -> jax.Array:
+    """(B, H, W) → (B/n, H, n·W): images b·n..b·n+n-1 side by side
+    along the lane axis.  Mosaic pads the lane dim to the 128 tile, so
+    packing amortises that padding across n images (e.g. 4×224 = 896
+    exact lanes vs 4×(224→256)); see ops/pallas/tvl1_solve.py's
+    lane-packed solver for the per-image semantics."""
+    B, H, W = x.shape
+    return x.reshape(B // n, n, H, W).transpose(0, 2, 1, 3) \
+            .reshape(B // n, H, n * W)
+
+
+def _unpack_lanes(x: jax.Array, n: int) -> jax.Array:
+    Bn, H, Wn = x.shape
+    return x.reshape(Bn, H, n, Wn // n).transpose(0, 2, 1, 3) \
+            .reshape(Bn * n, H, Wn // n)
 
 
 def _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v, cfg: TVL1Config):
@@ -232,7 +251,8 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         # kernel (HBM once per `chunk` iterations instead of per
         # iteration); otherwise the XLA while-loop reference.
         from video_analytics_tpu.ops.pallas.tvl1_solve import (
-            banded_params, solver_fits_vmem, tvl1_solve_warp,
+            banded_params, pack_choice, solver_fits_vmem,
+            tvl1_solve_warp, tvl1_solve_warp_packed,
             tvl1_solve_warp_banded)
         from video_analytics_tpu.utils.platform import on_tpu
         pallas_ok = use_pallas if use_pallas is not None else on_tpu()
@@ -243,17 +263,29 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
             banded = banded_params(lh, lw, cfg)
         from video_analytics_tpu.flow.farneback import _level_band
         band = _level_band(cfg.scale_step ** s)
+        # Lane packing (r5): the whole-plane solver runs at the VPU
+        # floor per PADDED lane, so n side-by-side images amortise the
+        # 128-lane tile padding (see tvl1_solve.py).  Exact per image;
+        # warp offsets/solver masks are per-image-aware.
+        n_pack = (pack_choice(lh, lw, B, cfg.median_filtering)
+                  if fused and not exact_warp else 1)
+        if n_pack > 1:
+            I0, I1, I1x, I1y, u, v = (
+                _pack_lanes(x, n_pack)
+                for x in (I0, I1, I1x, I1y, u, v))
         for _ in range(cfg.warps):
             u0, v0 = u, v
             I1w, I1wx, I1wy = _warp_step(
                 I1, I1x, I1y, u0, v0, band=band,
-                use_pallas=False if exact_warp else use_pallas)
+                use_pallas=False if exact_warp else use_pallas,
+                w_img=lw if n_pack > 1 else 0)
             if fused or banded:
                 grad = I1wx * I1wx + I1wy * I1wy
                 rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
                 if fused:
-                    u, v = tvl1_solve_warp(I1wx, I1wy, grad, rho_c,
-                                           u, v, cfg)
+                    u, v = tvl1_solve_warp_packed(
+                        I1wx, I1wy, grad, rho_c, u, v, cfg,
+                        n_img=n_pack, w_img=lw)
                 else:
                     u, v = tvl1_solve_warp_banded(
                         I1wx, I1wy, grad, rho_c, u, v, cfg,
@@ -261,6 +293,9 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
             else:
                 u, v = _solve_warp(I0, I1w, I1wx, I1wy, u0, v0, u, v,
                                    cfg)
+        if n_pack > 1:
+            u = _unpack_lanes(u, n_pack)
+            v = _unpack_lanes(v, n_pack)
         if cfg.median_filtering > 1:
             u = median_filter2d(u, cfg.median_filtering)
             v = median_filter2d(v, cfg.median_filtering)

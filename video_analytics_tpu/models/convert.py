@@ -95,3 +95,45 @@ def inflate_stem_for_flow(variables: Dict[str, Dict],
     out["params"] = {**out["params"],
                      "conv1": {"kernel": jnp.asarray(inflated)}}
     return out
+
+
+_BN_FOR_CONV = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
+                "downsample_conv": "downsample_bn"}
+
+
+def fold_batchnorm(variables: Dict[str, Dict],
+                   eps: float = 1e-5) -> Dict[str, Dict]:
+    """Fold inference BatchNorms into the preceding convs (VERDICT r4
+    task 4): at use_running_average=True, BN is the per-channel affine
+    y = s·x + (bias − mean·s) with s = scale/√(var+ε), which composes
+    EXACTLY (in f32) with a bias-free conv: W'[..., o] = W[..., o]·s[o],
+    b'[o] = bias[o] − mean[o]·s[o].  Consumes an unfolded
+    {'params', 'batch_stats'} tree from this module's naming scheme
+    (convK ↔ bnK, downsample_conv ↔ downsample_bn) and returns
+    {'params'} for the fold_bn=True model form (models/resnet.py) —
+    the pointwise normalize pass disappears from the compiled program.
+    """
+    def walk(p: Mapping[str, Any], s: Mapping[str, Any]) -> Dict:
+        out: Dict[str, Any] = {}
+        for k, v in p.items():
+            bn_key = _BN_FOR_CONV.get(k)
+            if bn_key is not None and bn_key in p:
+                bn, st = p[bn_key], s[bn_key]
+                sc = (bn["scale"].astype(jnp.float32)
+                      / jnp.sqrt(st["var"].astype(jnp.float32) + eps))
+                out[k] = {
+                    "kernel": v["kernel"].astype(jnp.float32) * sc,
+                    "bias": (bn["bias"].astype(jnp.float32)
+                             - st["mean"].astype(jnp.float32) * sc),
+                }
+            elif k in _BN_FOR_CONV.values():
+                continue                      # consumed by its conv
+            elif isinstance(v, Mapping) and "kernel" not in v \
+                    and "scale" not in v:
+                out[k] = walk(v, s.get(k, {}))
+            else:
+                out[k] = v                    # fc / anything unpaired
+        return out
+
+    return {"params": walk(dict(variables["params"]),
+                           dict(variables.get("batch_stats", {})))}

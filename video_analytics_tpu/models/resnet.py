@@ -27,18 +27,48 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class _Identity(nn.Module):
+    """Placeholder for a folded-away BatchNorm (fold_bn=True): the
+    scale/shift live inside the preceding conv's kernel/bias (see
+    models/convert.fold_batchnorm), so the norm slot is a no-op and the
+    pointwise normalize pass disappears from the compiled program."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
+def _conv_norm(dtype, fold_bn: bool, train: bool):
+    """(conv, norm) module builders shared by the stem and blocks.
+
+    fold_bn=True is the inference-only folded form: convs carry a bias
+    (the folded BN shift) and norms are identity — exact at
+    use_running_average=True since BN is then an affine per-channel map
+    that composes linearly with the conv (VERDICT r4 task 4)."""
+    if fold_bn and train:
+        raise ValueError("fold_bn models are inference-only "
+                         "(BatchNorm statistics are folded away)")
+    conv = functools.partial(nn.Conv, use_bias=fold_bn, dtype=dtype,
+                             param_dtype=jnp.float32)
+    if fold_bn:
+        norm = lambda name=None: _Identity(name=name)
+    else:
+        norm = functools.partial(nn.BatchNorm,
+                                 use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=dtype,
+                                 param_dtype=jnp.float32)
+    return conv, norm
+
+
 class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
-        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
+        conv, norm = _conv_norm(self.dtype, self.fold_bn, train)
         residual = x
         y = conv(self.filters, (3, 3), strides=(self.strides, self.strides),
                  padding=[(1, 1), (1, 1)], name="conv1")(x)
@@ -63,14 +93,11 @@ class BottleneckBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     expansion: int = 4
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
-        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
+        conv, norm = _conv_norm(self.dtype, self.fold_bn, train)
         out_ch = self.filters * self.expansion
         residual = x
         y = conv(self.filters, (1, 1), name="conv1")(x)
@@ -99,6 +126,7 @@ class ResNet(nn.Module):
     width: int = 64
     dtype: Any = jnp.float32
     bottleneck: bool = False
+    fold_bn: bool = False           # inference-only folded-BN form
 
     @property
     def feature_dim(self) -> int:
@@ -113,11 +141,7 @@ class ResNet(nn.Module):
             raise ValueError(
                 f"expected {self.in_channels} input channels, got {x.shape}")
         x = x.astype(self.dtype)
-        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
-        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                 param_dtype=jnp.float32)
+        conv, norm = _conv_norm(self.dtype, self.fold_bn, train)
         # Stem stays a plain 7x7/2 nn.Conv: a space-to-depth variant was
         # measured (r2) — the 4x4 conv ran at slightly better MXU
         # utilisation but the 2x2 depth rearrangement materialised
@@ -134,6 +158,7 @@ class ResNet(nn.Module):
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = block_cls(filters, strides, dtype=self.dtype,
+                              fold_bn=self.fold_bn,
                               name=f"layer{stage + 1}_{block}")(
                     x, train=train)
         x = jnp.mean(x, axis=(1, 2))       # global average pool

@@ -55,6 +55,25 @@ class TwoStreamModel:
             fusion_weights=fusion_weights,
         )
 
+    def folded(self) -> "TwoStreamModel":
+        """Inference-only form with every BatchNorm folded into its
+        preceding conv (models/convert.fold_batchnorm pairs it with
+        fold_variables below) — the per-activation normalize pass
+        disappears from the compiled eval/serve/bench programs."""
+        return dataclasses.replace(
+            self,
+            spatial=self.spatial.clone(fold_bn=True),
+            temporal=self.temporal.clone(fold_bn=True))
+
+    @staticmethod
+    def fold_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+        """Fold both streams' variables for a folded() model; extra
+        entries (e.g. the SpyNet 'flow' params) pass through."""
+        from video_analytics_tpu.models.convert import fold_batchnorm
+        return {k: (fold_batchnorm(v) if k in ("spatial", "temporal")
+                    else v)
+                for k, v in variables.items()}
+
     def init_variables(self, key: jax.Array,
                        input_hw: Tuple[int, int] = (224, 224)
                        ) -> Dict[str, Any]:

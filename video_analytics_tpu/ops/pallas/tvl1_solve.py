@@ -225,6 +225,232 @@ def solver_fits_vmem(h: int, w: int, median: int) -> bool:
     planes = (median * median + 2) * h * w if median > 1 else 0
     return (state + planes) * 4 < 13 * 1024 * 1024
 
+
+# ---------------------------------------------------------------------------
+# Lane-packed whole-plane solver (r5).
+#
+# The VPU probe (r5, STATUS "TV-L1 224² floor") showed the whole-plane
+# solver running AT the VPU arithmetic floor per PADDED lane — and
+# Mosaic pads the lane dim to 128: a 224-wide plane computes 256 lanes
+# (12.5% waste), 179 computes 256 (43%), 143 computes 256 (79%).  The
+# pyramid's mid levels therefore burn a third of their VPU time on pad
+# lanes.  Packing n_img batch images side by side along the lane axis
+# makes the padding amortise: 4×224 = 896 lanes exactly, 4×179 → 768
+# (192/image), 4×143 → 640 (160/image), 4×92 → 384 (96/image).
+#
+# Semantics per image are EXACT: every elementwise op is unchanged; the
+# lane rolls in the forward gradient / divergence do cross image seams,
+# but the same boundary where-selects that already handle the image
+# border discard the leaked values (a seam IS a pair of image borders);
+# the in-kernel median clamps its horizontal shifts per image (same
+# iterated-clamped-shift construction as the banded kernel's
+# _median2d_global); and the cv2 ε convergence gate is evaluated
+# per image (masked sums), with converged images' state frozen by a
+# round-end select while seam-mates keep iterating — each image follows
+# exactly the trajectory it would follow alone, up to the f32 reduction
+# order of its convergence sum (same caveat as the banded solver).
+# ---------------------------------------------------------------------------
+
+
+def _median2d_xi(x, xi, w_img: int, k: int):
+    """k×k median of an (H, Wp) lane-packed block with replicate
+    borders per IMAGE horizontally (xi = per-image column index) and at
+    the block edges vertically (H is unpacked)."""
+    H, W = x.shape
+    r = k // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    planes = []
+    ups = [x]
+    downs = [x]
+    for _ in range(r):
+        p = ups[-1]
+        ups.append(jnp.where(rows <= 0, p, _roll(p, 1, 0)))
+        p = downs[-1]
+        downs.append(jnp.where(rows >= H - 1, p, _roll(p, -1, 0)))
+    for sy in ups[::-1][:-1] + [x] + downs[1:]:
+        row = [sy]
+        left = [sy]
+        for _ in range(r):
+            p = row[-1]
+            row.append(jnp.where(xi <= 0, p, _roll(p, 1, 1)))
+            p = left[-1]
+            left.append(jnp.where(xi >= w_img - 1, p, _roll(p, -1, 1)))
+        planes.extend(row[::-1][:-1] + [sy] + left[1:])
+    return _median_network(planes)
+
+
+def _solver_kernel_packed(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
+                          uin_ref, vin_ref, uout_ref, vout_ref,
+                          *, cfg: TVL1Config, n_img: int, w_img: int):
+    """_solver_kernel on an (H, n_img·w_img) lane-packed block with
+    per-image borders, medians and ε gates (see module comment)."""
+    H, W = uin_ref.shape
+    f32 = jnp.float32
+    l_t = cfg.lambda_ * cfg.theta
+    taut = cfg.tau / cfg.theta
+    eps2 = cfg.epsilon * cfg.epsilon
+    n_px = H * w_img
+
+    I1wx = I1wx_ref[:]
+    I1wy = I1wy_ref[:]
+    grad = grad_ref[:]
+    rho_c = rho_c_ref[:]
+    th = l_t * grad
+    inv_grad = 1.0 / jnp.maximum(grad, 1e-10)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    # Per-image column index and masks (static n_img, where-chain —
+    # Mosaic iota must stay integer).
+    xi = cols
+    for kimg in range(1, n_img):
+        xi = jnp.where(cols >= kimg * w_img, cols - kimg * w_img, xi)
+    img_masks = [((cols >= kimg * w_img) & (cols < (kimg + 1) * w_img))
+                 for kimg in range(n_img)]
+    not_last_row = (rows < H - 1).astype(f32)
+    not_last_col = (xi < w_img - 1).astype(f32)
+    first_row = rows == 0
+    first_col = xi == 0
+
+    def fwd_grad(x):
+        # The lane roll reads across image seams; the border masks
+        # (a seam is a pair of image borders) zero those terms exactly.
+        gx = (_roll(x, -1, 1) - x) * not_last_col
+        gy = (_roll(x, -1, 0) - x) * not_last_row
+        return gx, gy
+
+    def div(p1, p2):
+        d1 = jnp.where(first_col, p1, p1 - _roll(p1, 1, 1))
+        d2 = jnp.where(first_row, p2, p2 - _roll(p2, 1, 0))
+        return d1 + d2
+
+    def step_core(state, with_err: bool):
+        u, v, p11, p12, p21, p22, errs = state
+        rho = rho_c + I1wx * u + I1wy * v
+        d = jnp.where(
+            rho < -th, l_t,
+            jnp.where(rho > th, -l_t, -rho * inv_grad))
+        v1 = u + d * I1wx
+        v2 = v + d * I1wy
+        un = v1 + cfg.theta * div(p11, p12)
+        vn = v2 + cfg.theta * div(p21, p22)
+        if with_err:
+            d2 = (un - u) ** 2 + (vn - v) ** 2
+            # Tuple of per-image scalars (not a rank-1 vector: Mosaic
+            # handles 0/2-rank values; the tuple rides the loop carry).
+            errs = tuple(jnp.sum(jnp.where(m, d2, 0.0)) / n_px
+                         for m in img_masks)
+        ux, uy = fwd_grad(un)
+        vx, vy = fwd_grad(vn)
+        inv1 = 1.0 / (1.0 + taut * jnp.sqrt(ux * ux + uy * uy))
+        inv2 = 1.0 / (1.0 + taut * jnp.sqrt(vx * vx + vy * vy))
+        p11n = (p11 + taut * ux) * inv1
+        p12n = (p12 + taut * uy) * inv1
+        p21n = (p21 + taut * vx) * inv2
+        p22n = (p22 + taut * vy) * inv2
+        return un, vn, p11n, p12n, p21n, p22n, errs
+
+    def inner_step(_, state):
+        return step_core(state, with_err=False)
+
+    def outer_step(_, state):
+        u, v, p11, p12, p21, p22, errs = state
+        conv = tuple(e < eps2 for e in errs)   # per-image ε gates
+
+        def run(st):
+            u0, v0, q11, q12, q21, q22, errs0 = st
+            u1, v1 = u0, v0
+            if cfg.median_filtering > 1:
+                u1 = _median2d_xi(u1, xi, w_img, cfg.median_filtering)
+                v1 = _median2d_xi(v1, xi, w_img, cfg.median_filtering)
+            st2 = jax.lax.fori_loop(
+                0, cfg.inner_iterations - 1, inner_step,
+                (u1, v1, q11, q12, q21, q22, errs0))
+            un, vn, r11, r12, r21, r22, errn = \
+                step_core(st2, with_err=True)
+            # Freeze converged images: their state (incl. the median)
+            # passes through untouched, exactly as if their solo kernel
+            # had taken the ε exit this round.
+            keep = img_masks[0] & conv[0]
+            for kimg in range(1, n_img):
+                keep = keep | (img_masks[kimg] & conv[kimg])
+            sel = lambda old, new: jnp.where(keep, old, new)
+            errs1 = tuple(
+                jnp.where(conv[kimg], errs0[kimg], errn[kimg])
+                for kimg in range(n_img))
+            return (sel(u0, un), sel(v0, vn), sel(q11, r11),
+                    sel(q12, r12), sel(q21, r21), sel(q22, r22), errs1)
+
+        all_conv = conv[0]
+        for c in conv[1:]:
+            all_conv = jnp.logical_and(all_conv, c)
+        return jax.lax.cond(all_conv, lambda st: st, run, state)
+
+    zeros = jnp.zeros((H, W), f32)
+    init = (uin_ref[:], vin_ref[:], zeros, zeros, zeros, zeros,
+            tuple(jnp.asarray(jnp.inf, f32) for _ in range(n_img)))
+    u, v, *_rest, errs = jax.lax.fori_loop(
+        0, cfg.outer_iterations, outer_step, init)
+    uout_ref[:] = u
+    vout_ref[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_img", "w_img"))
+def tvl1_solve_warp_packed(I1wx: jax.Array, I1wy: jax.Array,
+                           grad: jax.Array, rho_c: jax.Array,
+                           u: jax.Array, v: jax.Array,
+                           cfg: TVL1Config, n_img: int,
+                           w_img: int) -> Tuple[jax.Array, jax.Array]:
+    """All primal-dual iterations of one TV-L1 warp on lane-packed
+    planes: (B/n_img, H, n_img·w_img) arrays packing n_img images side
+    by side along the lane axis (flow.tvl1._pack_lanes layout)."""
+    if n_img == 1:
+        return tvl1_solve_warp(I1wx, I1wy, grad, rho_c, u, v, cfg)
+    B, H, W = u.shape
+    assert W == n_img * w_img
+    spec = pl.BlockSpec((None, H, W), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    u2, v2 = pl.pallas_call(
+        functools.partial(_solver_kernel_packed, cfg=cfg, n_img=n_img,
+                          w_img=w_img),
+        grid=(B,),
+        in_specs=[spec] * 6,
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_SCOPED_BYTES),
+        interpret=pallas_interpret(),
+    )(I1wx.astype(jnp.float32), I1wy.astype(jnp.float32),
+      grad.astype(jnp.float32), rho_c.astype(jnp.float32),
+      u.astype(jnp.float32), v.astype(jnp.float32))
+    return u2, v2
+
+
+_PACKED_SCOPED_BYTES = 100 * 1024 * 1024
+
+
+def packed_solver_fits(h: int, w_img: int, n_img: int,
+                       median: int) -> bool:
+    """VMEM model for the packed kernel: peak live planes are the
+    median phase (25 shifted planes + 5 hoisted consts + 6 state) plus
+    Mosaic's double-buffered pipeline blocks (8 × 2); lane dim padded
+    to the 128 tile.  Margin via the banded kernel's calibrated
+    1.1515 scoped-stack factor."""
+    wp = -(-(n_img * w_img) // 128) * 128
+    live = (25 if median > 1 else 12) + 5 + 6 + 16
+    return live * h * wp * 4 * 1.1515 < _PACKED_SCOPED_BYTES
+
+
+def pack_choice(h: int, w: int, batch: int, median: int) -> int:
+    """Largest n_img in (4, 2) that strictly reduces padded lanes per
+    image, divides the batch, and fits VMEM — else 1."""
+    pad = lambda n: -(-(n * w) // 128) * 128
+    for n in (4, 2):
+        if (batch % n == 0 and pad(n) * 1.0 / n < pad(1)
+                and packed_solver_fits(h, w, n, median)):
+            return n
+    return 1
+
 # ---------------------------------------------------------------------------
 # Row-banded solver for shapes beyond the whole-plane kernel's VMEM
 # (VERDICT r1 #2; BASELINE config #5 — native-resolution 1080p TV-L1).

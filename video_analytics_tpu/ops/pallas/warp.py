@@ -278,9 +278,10 @@ def pallas_warp_v_cf(img_cf: jax.Array, dy: jax.Array,
     return _axis_warp_any(img_cf.astype(jnp.float32), off, fy, r)
 
 
-@functools.partial(jax.jit, static_argnames=("r",))
+@functools.partial(jax.jit, static_argnames=("r", "w_img"))
 def pallas_warp_cf(img_cf: jax.Array, dx: jax.Array, dy: jax.Array,
-                   r: int = DEFAULT_BAND) -> jax.Array:
+                   r: int = DEFAULT_BAND,
+                   w_img: int = 0) -> jax.Array:
     """Channels-first bilinear warp: (B, C, H, W) by per-pixel
     displacements dx, dy each (B, H, W) → (B, C, H, W);
     out(p) = img(p + d(p)), clamped borders, |d| clamped to ±r.
@@ -288,14 +289,25 @@ def pallas_warp_cf(img_cf: jax.Array, dx: jax.Array, dy: jax.Array,
     This is pallas_warp without the NHWC layout round trips — the
     fused Farneback iteration chains channels-first through
     poly → warp → window-blur, so the inter-kernel transposes (the
-    ~1ms/call layout tax at 224², STATUS r2 known gap) vanish."""
+    ~1ms/call layout tax at 224², STATUS r2 known gap) vanish.
+
+    ``w_img`` > 0 marks the lane axis as n = W // w_img images packed
+    side by side (flow.tvl1's lane packing): the horizontal pass then
+    computes per-image coordinates/clamps, so every sample stays inside
+    its own image — ONLY the offset planes change; the sweep kernels
+    are byte-identical, and the column pad at the packed block's edges
+    is never selected by an interior image.  Bit-exact per image vs the
+    unpacked warp."""
     B, C, H, W = img_cf.shape
-    r = max(1, min(r, H - 2, W - 2))
+    wi = w_img or W
+    r = max(1, min(r, H - 2, wi - 2))
     img_cf = img_cf.astype(jnp.float32)
 
     xx = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    xs = jnp.clip(xx + dx, 0.0, W - 1.0)
-    x0 = jnp.clip(jnp.floor(xs), 0.0, W - 2.0)
+    if w_img:
+        xx = xx % float(w_img)          # per-image column coordinate
+    xs = jnp.clip(xx + dx, 0.0, wi - 1.0)
+    x0 = jnp.clip(jnp.floor(xs), 0.0, wi - 2.0)
     fx = xs - x0
     dx_off = jnp.clip(x0 - xx, -r, r).astype(jnp.int32)
     dy_off, fy = _v_offsets(dy, H, r)
