@@ -94,6 +94,30 @@ def test_extract_features_flow_too_short(tmp_path, tiny_clip, capsys):
     assert rc == 2
 
 
+def test_extract_features_fold_bn_matches(tmp_path, tiny_clip, capsys):
+    """--fold-bn (r5, VERDICT r4 task 4): the folded-BN inference form
+    must reproduce the unfolded features through the real CLI surface.
+    The fold is an exact f32 affine composition
+    (models/convert.fold_batchnorm); under bf16 compute the only
+    difference is rounding-point movement, so compare at a bf16-scale
+    relative tolerance."""
+    frames_dir = str(tmp_path / "frames")
+    main(["extract-frames", tiny_clip, frames_dir])
+    capsys.readouterr()
+    out_a = str(tmp_path / "a.npz")
+    out_b = str(tmp_path / "b.npz")
+    base = ["extract-features", frames_dir, "--stream", "rgb",
+            "--num-classes", "7", "--max-frames", "2"]
+    rc, _ = run_cli(capsys, base[:2] + [out_a] + base[2:])
+    assert rc == 0
+    rc, _ = run_cli(capsys, base[:2] + [out_b] + base[2:] + ["--fold-bn"])
+    assert rc == 0
+    a = np.load(out_a)["rgb"]
+    b = np.load(out_b)["rgb"]
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 2e-2 * np.abs(a).max() + 1e-3
+
+
 def test_classify_clip(tmp_path, tiny_clip, capsys):
     rc, res = run_cli(capsys, [
         "classify-clip", tiny_clip, "--algo", "farneback",

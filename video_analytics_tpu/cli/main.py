@@ -266,6 +266,9 @@ def _add_model_args(p, window: bool = True):
     p.add_argument("--resize-short", type=int, default=256)
     p.add_argument("--width", type=int, default=64,
                    help="ResNet base width (64 = standard ResNet-18)")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold BatchNorms into conv weights at load "
+                        "time (inference only; exact f32 composition)")
     if window:
         p.add_argument("--window", type=int, default=16,
                        help="frames per sliding window")
@@ -288,13 +291,19 @@ def _default_two_stream(num_classes: int, flow_stack: int, seed: int = 0,
 def _load_two_stream(checkpoint: Optional[str], num_classes: int,
                      flow_stack: int, width: int = 64,
                      input_hw: Tuple[int, int] = (224, 224),
-                     arch: str = "resnet18"):
+                     arch: str = "resnet18", fold_bn: bool = False):
     from video_analytics_tpu.runtime.checkpoint import load_variables
     model, variables = _default_two_stream(num_classes, flow_stack,
                                            width=width, input_hw=input_hw,
                                            arch=arch)
     if checkpoint:
         variables = load_variables(checkpoint, variables)
+    if fold_bn:
+        # Inference-only: fold BatchNorms into conv weights at load
+        # time (exact f32 composition; models/convert.fold_batchnorm).
+        from video_analytics_tpu.models.two_stream import TwoStreamModel
+        model = model.folded()
+        variables = TwoStreamModel.fold_variables(variables)
     return model, variables
 
 
@@ -317,7 +326,7 @@ def cmd_extract_features(args) -> int:
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
-        arch=args.arch)
+        arch=args.arch, fold_bn=getattr(args, "fold_bn", False))
 
     out = {}
     if _is_flow_dir(args.src):
@@ -393,7 +402,7 @@ def cmd_classify_clip(args) -> int:
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
-        arch=args.arch)
+        arch=args.arch, fold_bn=getattr(args, "fold_bn", False))
 
     classes = _load_class_names(args.class_index)
 
@@ -424,7 +433,7 @@ def cmd_eval_ucf101(args) -> int:
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
-        arch=args.arch)
+        arch=args.arch, fold_bn=getattr(args, "fold_bn", False))
     if args.algo == "spynet":
         variables["flow"] = _spynet_params(args)
     ds = UCF101(videos_root=args.videos, annotations_root=args.annotations,
@@ -819,7 +828,7 @@ def cmd_serve(args) -> int:
     model, variables = _load_two_stream(
         args.checkpoint, args.num_classes, cfg.preprocess.flow_stack,
         width=args.width, input_hw=(cfg.preprocess.crop,) * 2,
-        arch=args.arch)
+        arch=args.arch, fold_bn=getattr(args, "fold_bn", False))
 
     classes = _load_class_names(args.class_index)
 
