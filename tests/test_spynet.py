@@ -95,3 +95,34 @@ def test_bundled_checkpoint_recovers_motion():
     flow = model.apply({"params": weights["params"]}, prev, nxt)
     epe = np.sqrt(np.sum((np.asarray(flow) - np.asarray(gt)) ** 2, -1))
     assert epe.mean() < 0.3, epe.mean()
+
+
+def test_synthetic_pair_hard_regimes(rng):
+    """r5 generator extensions: full_affine emits true rotation+zoom
+    fields (nonzero curl) and hard_objects emits discontinuous flow
+    with consistent photometry (warp(nxt, gt) ≈ prev away from
+    occlusions)."""
+    import jax
+    import jax.numpy as jnp
+    from video_analytics_tpu.models.spynet import synthetic_pair
+    from video_analytics_tpu.ops.kernels import warp_by_flow
+
+    k = jax.random.PRNGKey(3)
+    prev, nxt, gt = synthetic_pair(k, 2, 48, 64, full_affine=True)
+    g = np.asarray(gt)
+    # curl of a rotation field is nonzero: du/dy - dv/dx
+    curl = np.abs(np.gradient(g[..., 0], axis=1)
+                  - np.gradient(g[..., 1], axis=2)).mean()
+    assert curl > 1e-3, curl
+    rec = warp_by_flow(nxt[..., None], gt)[..., 0]
+    err = np.abs(np.asarray(rec) - np.asarray(prev))
+    assert np.median(err) < 6.0
+
+    prev, nxt, gt = synthetic_pair(k, 2, 48, 64, hard_objects=2)
+    g = np.asarray(gt)
+    # hard squares: spatial flow jumps >= 1 px between neighbours
+    jump = np.abs(np.diff(g[..., 0], axis=2)).max()
+    assert jump > 1.0, jump
+    rec = warp_by_flow(nxt[..., None], gt)[..., 0]
+    err = np.abs(np.asarray(rec) - np.asarray(prev))
+    assert np.median(err) < 6.0

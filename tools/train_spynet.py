@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--mix-affine", type=float, default=0.5,
                     help="fraction of steps trained on pure-affine "
                          "pairs (keeps the global-motion regime sharp)")
+    ap.add_argument("--full-affine", action="store_true",
+                    help="rotation+zoom similarity fields instead of "
+                         "the diagonal linear term (r5: the regime the "
+                         "r4 held-out eval showed the ckpt losing on)")
+    ap.add_argument("--hard-objects", type=int, default=0,
+                    help="sharp-edged occluding squares per pair on a "
+                         "third of the non-affine steps (r5)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--levels", type=int, default=4)
@@ -87,18 +94,36 @@ def main():
         # Hold pixels/step ~constant across sizes so large sizes don't
         # dominate wall time (min batch 2).
         b = max(2, int(round(args.batch * (args.hw / s) ** 2)))
-        steps_by_size[s] = (
+        fa = args.full_affine
+        step_list = [
             make_spynet_train_step(model, tx, batch=b, hw=(s, s),
-                                   local_blobs=args.local_blobs),
+                                   local_blobs=args.local_blobs,
+                                   full_affine=fa),
+            # Affine steps alternate similarity (rotation+zoom) and
+            # diagonal (anisotropic-scale) fields when --full-affine is
+            # set, so neither global regime is forgotten.
             make_spynet_train_step(model, tx, batch=b, hw=(s, s),
-                                   local_blobs=0))
+                                   local_blobs=0, full_affine=fa),
+            make_spynet_train_step(model, tx, batch=b, hw=(s, s),
+                                   local_blobs=0, full_affine=False)]
+        step_list.append(make_spynet_train_step(
+            model, tx, batch=b, hw=(s, s), local_blobs=1,
+            full_affine=fa, hard_objects=args.hard_objects)
+            if args.hard_objects else None)
+        steps_by_size[s] = step_list
 
     t0 = time.time()
     for i in range(args.steps):
         key, sub = jax.random.split(key)
-        step_blobs, step_affine = steps_by_size[sizes[i % len(sizes)]]
-        step = step_affine if (i % 100) < args.mix_affine * 100 \
-            else step_blobs
+        step_list = steps_by_size[sizes[i % len(sizes)]]
+        step_blobs, step_affine, step_diag, step_hard = step_list
+        if (i % 100) < args.mix_affine * 100:
+            step = step_diag if (args.full_affine and i % 2) \
+                else step_affine
+        elif step_hard is not None and i % 2:
+            step = step_hard             # occluding hard squares
+        else:
+            step = step_blobs
         params, opt_state, loss, epe = step(params, opt_state, sub)
         if (i + 1) % 200 == 0:
             print(f"step {i + 1}: loss {float(loss):.4f} "

@@ -127,7 +127,8 @@ def init_spynet(model: SpyNet, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 def synthetic_pair(key: jax.Array, batch: int, h: int, w: int,
-                   local_blobs: int = 0):
+                   local_blobs: int = 0, full_affine: bool = False,
+                   hard_objects: int = 0):
     """Random band-limited images + random smooth flows; returns
     (prev, nxt, gt_flow) with nxt ≈ warp of prev.
 
@@ -135,8 +136,19 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int,
     on top of the global affine field — the moving-object regime real
     action video lives in (a foreground moving against a differently-
     moving background), which pure affine training misses.
+
+    full_affine=True (r5, VERDICT r4 task 6) replaces the diagonal
+    linear term with a full similarity field s·R(θ) − I (rotation ±4°,
+    zoom ×[0.95, 1.07]) — the rotation/zoom regime the r4 held-out
+    evaluation showed the shipped checkpoint losing to TV-L1 on.
+
+    hard_objects > 0 pastes that many sharp-edged textured squares
+    translating with their OWN velocity over the affine background
+    (mirrors tools/flow_quality._squares_batch): hard flow
+    discontinuities + genuinely occluded/disoccluded pixels, which
+    Gaussian-blended blobs cannot produce.
     """
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     base = jax.random.uniform(k1, (batch, h + 16, w + 16), minval=0.0,
                               maxval=255.0)
     from video_analytics_tpu.ops.kernels import gaussian_blur
@@ -152,8 +164,24 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int,
     t = jax.random.uniform(k2, (batch, 1, 1, 2), minval=-3.0, maxval=3.0)
     yy = jax.lax.broadcasted_iota(jnp.float32, (batch, h, w), 1) / h - 0.5
     xx = jax.lax.broadcasted_iota(jnp.float32, (batch, h, w), 2) / w - 0.5
-    a = jax.random.uniform(k3, (batch, 1, 1, 2), minval=-1.0, maxval=1.0)
-    gt = t + a * jnp.stack([xx, yy], axis=-1)
+    if full_affine:
+        # s·R(θ) − I applied to centred PIXEL coords: true
+        # rotation+zoom fields (cross terms the diagonal form lacks).
+        kt, ks = jax.random.split(k3)
+        theta = jax.random.uniform(kt, (batch, 1, 1),
+                                   minval=-0.07, maxval=0.07)
+        s = jax.random.uniform(ks, (batch, 1, 1),
+                               minval=0.95, maxval=1.07)
+        x_px = xx * w
+        y_px = yy * h
+        c, sn = jnp.cos(theta), jnp.sin(theta)
+        gx = (s * c - 1.0) * x_px - s * sn * y_px
+        gy = s * sn * x_px + (s * c - 1.0) * y_px
+        gt = t + jnp.stack([gx, gy], axis=-1)
+    else:
+        a = jax.random.uniform(k3, (batch, 1, 1, 2),
+                               minval=-1.0, maxval=1.0)
+        gt = t + a * jnp.stack([xx, yy], axis=-1)
     if local_blobs:
         kc, ks, ku = jax.random.split(k4, 3)
         cs = jax.random.uniform(kc, (batch, local_blobs, 2),
@@ -176,12 +204,51 @@ def synthetic_pair(key: jax.Array, batch: int, h: int, w: int,
     nxt = warp_by_flow(base[..., None], jnp.pad(
         -gt, [(0, 0), (8, 8), (8, 8), (0, 0)], mode="edge"))[
         :, 8:8 + h, 8:8 + w, 0]
+    if hard_objects:
+        # Sharp-edged textured squares with their own velocity, pasted
+        # EXPLICITLY into both frames (the smooth-warp construction
+        # above cannot represent a flow discontinuity): object at c in
+        # prev shows tex(p), at c+u in nxt shows tex(p−u), so
+        # nxt(p + u) = prev(p) inside the square and the strips the
+        # square covers/uncovers are genuinely occluded/disoccluded.
+        kc, khs, ku, ktex = jax.random.split(k5, 4)
+        tex = gaussian_blur(jax.random.uniform(
+            ktex, (batch, h, w), minval=0.0, maxval=255.0), 2.0)
+        tex = tex * 0.5 + 110.0
+        px = (xx + 0.5) * w
+        py = (yy + 0.5) * h
+        cs = jax.random.uniform(kc, (batch, hard_objects, 2),
+                                minval=0.2, maxval=0.8) \
+            * jnp.asarray([w, h], jnp.float32)
+        half = jax.random.uniform(khs, (batch, hard_objects, 1, 1),
+                                  minval=0.05, maxval=0.12) * min(h, w)
+        uo = jax.random.uniform(ku, (batch, hard_objects, 2),
+                                minval=-4.0, maxval=4.0)
+        for i in range(hard_objects):
+            cx = cs[:, i, 0, None, None]
+            cy = cs[:, i, 1, None, None]
+            ux = uo[:, i, 0, None, None]
+            uy = uo[:, i, 1, None, None]
+            hf = half[:, i]
+            inside_prev = (jnp.abs(px - cx) < hf) \
+                & (jnp.abs(py - cy) < hf)
+            inside_next = (jnp.abs(px - (cx + ux)) < hf) \
+                & (jnp.abs(py - (cy + uy)) < hf)
+            shift = jnp.broadcast_to(-uo[:, i, None, None, :],
+                                     (batch, h, w, 2))
+            tex_shift = warp_by_flow(tex[..., None], shift)[..., 0]
+            prev = jnp.where(inside_prev, tex, prev)
+            nxt = jnp.where(inside_next, tex_shift, nxt)
+            gt = jnp.where(inside_prev[..., None],
+                           uo[:, i, None, None, :], gt)
     return prev, nxt, gt
 
 
 def make_spynet_train_step(model: SpyNet, tx, batch: int = 8,
                            hw: Tuple[int, int] = (64, 64),
-                           local_blobs: int = 0):
+                           local_blobs: int = 0,
+                           full_affine: bool = False,
+                           hard_objects: int = 0):
     """EPE loss with deep supervision over levels."""
     import optax
 
@@ -202,7 +269,9 @@ def make_spynet_train_step(model: SpyNet, tx, batch: int = 8,
     @jax.jit
     def step(params, opt_state, key):
         prev, nxt, gt = synthetic_pair(key, batch, *hw,
-                                       local_blobs=local_blobs)
+                                       local_blobs=local_blobs,
+                                       full_affine=full_affine,
+                                       hard_objects=hard_objects)
         (loss, epe), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, prev, nxt, gt)
         updates, opt_state = tx.update(grads, opt_state, params)
