@@ -82,6 +82,12 @@ def measure(name, fn, args, perturb, reps=8, passes=3, unit_calls=1):
                              / HBM_PEAK, 1)}
 
 
+def dataclasses_replace_preprocess(cfg, src_hw):
+    import dataclasses
+    return dataclasses.replace(cfg, preprocess=dataclasses.replace(
+        cfg.preprocess, src_hw=src_hw))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-1080p", action="store_true",
@@ -173,6 +179,33 @@ def main():
         return tvl1_jit(a, b, tcfg)
     rows.append(measure("tvl1_64p_224", tvl1_224, (prev, nxt),
                         pert_first, reps=4))
+
+    # 3b. The batched-eval executable (the clips/sec device program —
+    # VERDICT r4 task 3: the one metric exercising the whole system had
+    # no roofline row).  Same batch geometry as bench's clips leg:
+    # 8 clips × 1 window × 16 frames, transport-cropped 240×320 source.
+    from video_analytics_tpu.runtime.evaluate import (
+        _batch_clip_metrics, _place_batch)
+    ecfg = PipelineConfig(flow_algo="farneback", window=16)
+    from video_analytics_tpu.ingest import slice_crop_source
+    wins8 = np.stack([make_frames(16, SRC_H, SRC_W, seed=10 + i)
+                      for i in range(8)])[:, None]   # (8, 1, 16, H, W, 3)
+    wins8c, hw8 = slice_crop_source(
+        wins8.reshape(8, 16, SRC_H, SRC_W, 3), 256, 224)
+    wins8c = wins8c[:, None]
+    ecfg_t = dataclasses_replace_preprocess(ecfg, hw8)
+    labels8 = np.zeros(8, np.int32)
+    valid8 = np.ones(8, bool)
+    arr_d, labels_d, valid_d = _place_batch(wins8c, labels8, valid8,
+                                            None)
+
+    def eval_batch(a):
+        c, _ = _batch_clip_metrics(a, labels_d, valid_d, variables,
+                                   model, ecfg_t)
+        return c
+
+    rows.append(measure("eval_batch_8clips", eval_batch, (arr_d,),
+                        pert_first))
 
     # 4. Sustained-1080p classify (transport-cropped shape).
     import dataclasses
