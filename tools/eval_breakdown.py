@@ -15,9 +15,20 @@ measure_clips_per_sec); per-clip wall time decomposes as
     consumer  = host-prep + device_put + dispatch + (device time not
                 hidden by the async stream)
 
-Components that are transport artifacts of THIS host (the ~70 MB/s
-axon tunnel + per-dispatch RTT) are labelled as such — a
-direct-attached host does not pay them.
+Components that are transport artifacts of THIS host (the axon dev
+tunnel — measured ~20-70 MB/s depending on the session — plus the
+per-dispatch RTT) are labelled as such; a direct-attached host does
+not pay them.
+
+Axon timing semantics (measured 2026-08-20, r5): `block_until_ready`
+returns on enqueue-ACK, NOT completion, and device_put ships lazily at
+first dependent use — every timed region here therefore ends in an
+explicit host VALUE fetch (float()/int()) of a scalar that depends on
+all the work, and every dispatch carries distinct input content so no
+layer can alias repeats.  (Verified: repeated identical dispatches DO
+recompute — an ~85 ms chained-matmul program times the same for
+identical and distinct inputs — but the fetch discipline is what makes
+block-based timings honest at all.)
 """
 
 import json
@@ -81,14 +92,25 @@ def main():
         (time.perf_counter() - t0) / 20 * 1e3, 3)
 
     # --- 3. device_put (host→HBM over the tunnel) ---
+    # Axon tunnel semantics (measured 2026-08-20): device_put returns
+    # on enqueue-ACK and block_until_ready does NOT wait for the bytes
+    # to arrive — the transfer completes lazily at first dependent USE.
+    # So the honest transfer time is device_put + a fetched scalar that
+    # depends on every byte (a full int32 sum of the uint8 batch).
     import dataclasses
     bcfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
         cfg.preprocess, src_hw=hw))
+    import jax.numpy as jnp
+    force = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
+    a0, _, _ = _place_batch(batches[0], labels, valid, None)
+    int(force(a0))                                        # compile
     put_ms = []
     for b in batches:
+        b = b.copy()
+        b[0, 0, 0, 0, 0, 0] ^= 1       # distinct content per pass
         t0 = time.perf_counter()
         a, l, v = _place_batch(b, labels, valid, None)
-        jax.block_until_ready(a)
+        int(force(a))                  # forces arrival of every byte
         put_ms.append((time.perf_counter() - t0) * 1e3)
     res["deviceput_ms_per_batch"] = round(float(np.median(put_ms)), 3)
     res["batch_mb"] = round(batches[0].nbytes / 2**20, 2)
@@ -96,25 +118,35 @@ def main():
         batches[0].nbytes / 2**20 / (np.median(put_ms) / 1e3), 1)
 
     # --- 4. device compute (deep dispatch groups amortize RTT) ---
+    # Distinct content per dispatch (no aliasing with any cache layer)
+    # and a fetched scalar reduction per GROUP (executions serialize on
+    # the device stream, so group wall / n is honest sustained time).
     placed = [_place_batch(b, labels, valid, None) for b in batches]
+    for (a, l, v) in placed:
+        int(force(a))                  # contents resident before timing
     a0, l0, v0 = placed[0]
     c, _ = _batch_clip_metrics(a0, l0, v0, variables, model, bcfg)
-    jax.block_until_ready(c)          # compile
+    int(c)                             # compile + run + fetch
+    pert = [jnp.uint8(i) for i in range(1, 160)]   # device scalars →
+    jax.block_until_ready(pert)        # one shared .at.add executable
     deep = []
-    for _ in range(3):
+    for g in range(3):
         t0 = time.perf_counter()
-        outs = [_batch_clip_metrics(a, l, v, variables, model, bcfg)[0]
-                for (a, l, v) in placed * 3]           # 12 dispatches
-        jax.block_until_ready(outs)
+        outs = [_batch_clip_metrics(
+            a.at[0, 0, 0, 0, 0, 0].add(pert[g * 12 + i]), l, v,
+            variables, model, bcfg)[0]
+            for i, (a, l, v) in enumerate(placed * 3)]  # 12 dispatches
+        float(sum(o for o in outs))
         deep.append((time.perf_counter() - t0) / (len(placed) * 3) * 1e3)
     res["device_ms_per_batch_deep"] = round(float(np.median(deep)), 3)
 
     # --- 5. single-dispatch round trip (adds the tunnel RTT) ---
     single = []
-    for (a, l, v) in placed * 3:
+    for i, (a, l, v) in enumerate(placed * 3):
         t0 = time.perf_counter()
-        c, _ = _batch_clip_metrics(a, l, v, variables, model, bcfg)
-        jax.block_until_ready(c)
+        c, _ = _batch_clip_metrics(a.at[0, 0, 0, 0, 0, 0].add(
+            pert[100 + i]), l, v, variables, model, bcfg)
+        int(c)
         single.append((time.perf_counter() - t0) * 1e3)
     res["device_ms_per_batch_single"] = round(float(np.median(single)), 3)
     res["dispatch_rtt_ms"] = round(
@@ -164,9 +196,14 @@ def main():
     print("\nper-clip ledger (ms):")
     for k, v in ledger.items():
         print(f"  {k:28s} {v:8.2f}")
-    print("\ntransport artifacts of this host: device_put rides the "
-          "~70MB/s tunnel; dispatch RTT ~4-40ms/launch. A "
-          "direct-attached host pays neither.")
+    print(f"\ntransport artifacts of this host: the batch must ship "
+          f"over the dev tunnel (measured {res['implied_transfer_mbps']}"
+          f" MB/s this run; it has ranged ~20-70 MB/s across sessions) "
+          f"and each launch pays ~{res['dispatch_rtt_ms']:.0f} ms RTT. "
+          f"A direct-attached host pays neither — there the bound is "
+          f"max(decode/workers, device) = "
+          f"max({res['decode_ms_per_clip']:.1f}/workers, "
+          f"{res['device_ms_per_batch_deep'] / 8:.1f}) ms/clip.")
 
 
 if __name__ == "__main__":
