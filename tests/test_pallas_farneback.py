@@ -373,3 +373,104 @@ def test_level_kernel_gates():
     assert level_kernel_fits(240, 320, 24, 15)
     assert not level_kernel_fits(512, 640, 24, 15)
     assert not level_kernel_fits(1080, 1920, 24, 15)
+
+
+def test_poly_prologue_matches_chain():
+    """The fused per-level prologue (blur + resize + poly in one
+    kernel) vs the unfused chain (_smooth_and_resize +
+    poly_expansion_pallas): ~1-ulp equivalence across dec/poly/layout
+    variants (see the in-test comment for the two rounding-order
+    sources)."""
+    import importlib
+    fb = importlib.import_module("video_analytics_tpu.flow.farneback")
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        poly_expansion_pallas, poly_prologue_pallas, prologue_fits)
+
+    rng = np.random.default_rng(11)
+    T, H, W = 3, 96, 128
+    frames = jnp.asarray(rng.uniform(0, 255, (T, H, W))
+                         .astype(np.float32))
+    for scale, (lh, lw), n, sigma in (
+            (1.0, (96, 128), 5, 1.2),      # dec=1: bit-exact
+            (0.5, (48, 64), 5, 1.2),       # dec=2
+            (0.25, (24, 32), 7, 1.5)):     # dec=4, poly 7
+        btaps = fb._smooth_taps(scale)
+        assert prologue_fits(H, W, lh, lw, len(btaps), n)
+        I = fb._smooth_and_resize(frames, scale, (lh, lw))
+        R_ref, RT_ref = poly_expansion_pallas(I, n, sigma,
+                                              layout="cf_both")
+        R, RT = poly_prologue_pallas(frames, btaps, n, sigma, (lh, lw),
+                                     layout="cf_both")
+        Rc = poly_prologue_pallas(frames, btaps, n, sigma, (lh, lw),
+                                  layout="cf")
+        Rt = poly_prologue_pallas(frames, btaps, n, sigma, (lh, lw),
+                                  layout="cf_t")
+        # Same per-element ops as the chain; the only diffs are (a) the
+        # x-first/y-first resize reorder at dec>1 and (b) FMA
+        # contraction of the two-term Gramian combine (the chain's XLA
+        # epilogue may fuse a·c1 + b·c2 where the in-kernel combine
+        # does not) — both ~1-ulp classes, same as the documented
+        # solve-expression artifact above.
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref),
+                                   rtol=1e-5, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(RT), np.asarray(RT_ref),
+                                   rtol=1e-5, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(Rc), np.asarray(R))
+        np.testing.assert_array_equal(np.asarray(Rt), np.asarray(RT))
+
+
+def test_poly_prologue_driver_equivalence():
+    """farneback / farneback_sequence with the fused prologue engaged
+    vs forced off: the resize reorder must stay in the noise at the
+    flow level (same tolerance class as the W-space reorder gates)."""
+    import importlib
+    fk = importlib.import_module(
+        "video_analytics_tpu.ops.pallas.farneback_kernels")
+    fb = importlib.import_module("video_analytics_tpu.flow.farneback")
+    from video_analytics_tpu.config import FarnebackConfig
+
+    rng = np.random.default_rng(12)
+    base = rng.uniform(0, 255, (160, 200)).astype(np.float32)
+    k = np.ones(7) / 7
+    base = np.apply_along_axis(
+        lambda r: np.convolve(r, k, 'same'), 1, base)
+    base = np.apply_along_axis(
+        lambda r: np.convolve(r, k, 'same'), 0, base)
+    frames = jnp.asarray(np.stack(
+        [base[8 + 2 * t:136 + 2 * t, 8 + t:136 + t] for t in range(4)]))
+    cfg = FarnebackConfig()
+
+    seq_on = np.asarray(fb.farneback_sequence(frames, cfg,
+                                              use_pallas=True))
+    pair_on = np.asarray(fb.farneback(frames[:-1], frames[1:], cfg,
+                                      use_pallas=True))
+    orig = fk.prologue_fits
+    fk.prologue_fits = lambda *a, **kw: False
+    try:
+        seq_off = np.asarray(fb.farneback_sequence(frames, cfg,
+                                                   use_pallas=True))
+        pair_off = np.asarray(fb.farneback(frames[:-1], frames[1:],
+                                           cfg, use_pallas=True))
+    finally:
+        fk.prologue_fits = orig
+    np.testing.assert_allclose(seq_on, seq_off, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pair_on, pair_off, rtol=1e-4, atol=1e-4)
+
+
+def test_poly_prologue_gates():
+    """The prologue engages at every shipped level geometry and
+    refuses non-power-of-two pyramids and oversized planes."""
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        prologue_fits)
+    # headline 224² levels and CLI 240×320 levels
+    for (h, w), levels in (((224, 224), [(224, 224), (112, 112),
+                                         (56, 56)]),
+                           ((240, 320), [(240, 320), (120, 160),
+                                         (60, 80)])):
+        for lh, lw in levels:
+            assert prologue_fits(h, w, lh, lw, 9, 5), (h, w, lh, lw)
+    # rounded (non-exact) pyramid sizes fall back
+    assert not prologue_fits(225, 225, 112, 112, 3, 5)
+    assert not prologue_fits(224, 224, 112, 56, 3, 5)   # mixed dec
+    # oversized planes fall back
+    assert not prologue_fits(1080, 1920, 1080, 1920, 3, 5)

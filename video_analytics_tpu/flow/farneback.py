@@ -392,22 +392,31 @@ def _level_sizes(h: int, w: int, cfg: FarnebackConfig):
     return sizes
 
 
+def _smooth_taps(scale: float) -> Tuple[float, ...]:
+    """cv2's per-level pre-blur taps: sigma=(1/scale-1)*0.5 with the
+    auto ksize rule, except scale>=1 where cv2's minimum-3 clamp yields
+    the fixed [0.25, 0.5, 0.25] kernel (getGaussianKernel(3, 0)) — cv2
+    ALWAYS pre-blurs, including at full resolution (found empirically:
+    restores interior single-iteration parity from ~0.08px to
+    ~0.017px).  Single source for this cv2-parity-sensitive constant,
+    shared with the fused prologue kernel."""
+    if scale >= 1.0:
+        return (0.25, 0.5, 0.25)
+    sigma = (1.0 / scale - 1.0) * 0.5
+    from video_analytics_tpu.ops.kernels import gaussian_kernel_1d
+    return tuple(float(t) for t in gaussian_kernel_1d(sigma))
+
+
 def _smooth_and_resize(img: jax.Array, scale: float,
                        out_hw: Tuple[int, int]) -> jax.Array:
-    """OpenCV's per-level image prep: Gaussian blur with
-    sigma=(1/scale-1)*0.5 on the ORIGINAL image, then bilinear resize.
-
-    At the finest level sigma is 0, but cv2 clamps the kernel size to a
-    minimum of 3 and getGaussianKernel(3, 0) returns the fixed
-    [0.25, 0.5, 0.25] tap — i.e. cv2 ALWAYS pre-blurs, including at
-    full resolution (found empirically: restores interior single-
-    iteration parity from ~0.08px to ~0.017px)."""
+    """OpenCV's per-level image prep: Gaussian blur (taps from
+    _smooth_taps, reflect-101 border) on the ORIGINAL image, then
+    bilinear resize."""
+    from video_analytics_tpu.ops.kernels import sepcorr
+    k = jnp.asarray(np.array(_smooth_taps(scale), np.float32))
+    sm = sepcorr(img, k, k, border="reflect")
     if scale >= 1.0:
-        k = jnp.asarray(np.array([0.25, 0.5, 0.25], np.float32))
-        from video_analytics_tpu.ops.kernels import sepcorr
-        return sepcorr(img, k, k, border="reflect")
-    sigma = (1.0 / scale - 1.0) * 0.5
-    sm = gaussian_blur(img, sigma)
+        return sm
     return resize_area_like(sm, out_hw)
 
 
@@ -462,11 +471,11 @@ def farneback(prev: jax.Array, nxt: jax.Array,
     fused = (use_pallas if use_pallas is not None else on_tpu()) \
         and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
 
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        poly_prologue_pallas, prologue_fits)
+
     flow = None
     for li, (lh, lw, scale) in enumerate(sizes):
-        I0 = _smooth_and_resize(prev, scale, (lh, lw))
-        I1 = _smooth_and_resize(nxt, scale, (lh, lw))
-
         fshape = (B, 2, lh, lw) if fused else (B, lh, lw, 2)
         if flow is None:
             if cfg.use_initial_flow and initial_flow is not None:
@@ -484,19 +493,36 @@ def farneback(prev: jax.Array, nxt: jax.Array,
 
         band = _level_band(scale)
         wspace = fused and _wspace_ok(lh, lw, band, cfg)
-        if wspace:
+        btaps = _smooth_taps(scale)
+        if wspace and prologue_fits(H, W, lh, lw, len(btaps),
+                                    cfg.poly_n):
+            # Fused prologue: blur + resize + poly expansion in one
+            # kernel per frame, each layout from its own image.
+            R0T = poly_prologue_pallas(prev, btaps, cfg.poly_n,
+                                       cfg.poly_sigma, (lh, lw),
+                                       layout="cf_t")
+            R1 = poly_prologue_pallas(nxt, btaps, cfg.poly_n,
+                                      cfg.poly_sigma, (lh, lw),
+                                      layout="cf")
+        elif wspace:
             # W-space fused iterations consume R0 transposed (free from
             # the poly h-pass) and R1 channels-first.
+            I0 = _smooth_and_resize(prev, scale, (lh, lw))
+            I1 = _smooth_and_resize(nxt, scale, (lh, lw))
             R0T = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma,
                                         layout="cf_t")
             R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma,
                                        cf=True)
         elif fused:
+            I0 = _smooth_and_resize(prev, scale, (lh, lw))
+            I1 = _smooth_and_resize(nxt, scale, (lh, lw))
             R0 = poly_expansion_pallas(I0, cfg.poly_n, cfg.poly_sigma,
                                        cf=True)
             R1 = poly_expansion_pallas(I1, cfg.poly_n, cfg.poly_sigma,
                                        cf=True)
         else:
+            I0 = _smooth_and_resize(prev, scale, (lh, lw))
+            I1 = _smooth_and_resize(nxt, scale, (lh, lw))
             R0 = poly_expansion(I0, cfg.poly_n, cfg.poly_sigma)
             R1 = poly_expansion(I1, cfg.poly_n, cfg.poly_sigma)
 
@@ -545,9 +571,11 @@ def farneback_sequence(frames: jax.Array,
     fused = (use_pallas if use_pallas is not None else on_tpu()) \
         and all(farneback_stage_fits_vmem(lh, lw) for lh, lw, _ in sizes)
 
+    from video_analytics_tpu.ops.pallas.farneback_kernels import (
+        poly_prologue_pallas, prologue_fits)
+
     flow = None
     for li, (lh, lw, scale) in enumerate(sizes):
-        I = _smooth_and_resize(frames, scale, (lh, lw))
         fshape = (T - 1, 2, lh, lw) if fused else (T - 1, lh, lw, 2)
         if flow is None:
             flow = jnp.zeros(fshape, jnp.float32)
@@ -557,19 +585,32 @@ def farneback_sequence(frames: jax.Array,
 
         band = _level_band(scale, envelope)
         wspace = fused and _wspace_ok(lh, lw, band, cfg)
-        if wspace:
+        btaps = _smooth_taps(scale)
+        if wspace and prologue_fits(H, W, lh, lw, len(btaps),
+                                    cfg.poly_n):
+            # Fused prologue (r5): blur + resize + BOTH expansion
+            # layouts of every frame in one kernel — the level image
+            # and the basis correlations never touch HBM.
+            R, RT = poly_prologue_pallas(frames, btaps, cfg.poly_n,
+                                         cfg.poly_sigma, (lh, lw),
+                                         layout="cf_both")
+            R0T, R1 = RT[:-1], R[1:]
+        elif wspace:
             # Both layouts of the shared per-frame expansion: R1 slices
             # the cf form, R0 the transposed form (one extra 5-plane
             # transpose per level — cheaper than the R1w round trip it
             # replaces).
+            I = _smooth_and_resize(frames, scale, (lh, lw))
             R, RT = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma,
                                           layout="cf_both")
             R0T, R1 = RT[:-1], R[1:]
         elif fused:
+            I = _smooth_and_resize(frames, scale, (lh, lw))
             R = poly_expansion_pallas(I, cfg.poly_n, cfg.poly_sigma,
                                       cf=True)
             R0, R1 = R[:-1], R[1:]
         else:
+            I = _smooth_and_resize(frames, scale, (lh, lw))
             R = poly_expansion(I, cfg.poly_n, cfg.poly_sigma)
             R0, R1 = R[:-1], R[1:]
 

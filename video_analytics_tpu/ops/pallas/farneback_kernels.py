@@ -1029,6 +1029,217 @@ def poly_expansion_pallas(img: jax.Array, n: int, sigma: float,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-level prologue (r5): cv2's pre-blur, the pyramid resize and
+# the WHOLE polynomial expansion in ONE kernel per frame.
+#
+# Per level the old prologue chain was gaussian_blur (2 XLA shift-add
+# passes at FULL resolution) → jax.image.resize → poly v-kernel → XLA
+# 3-plane transpose → poly h-kernel → XLA inverse-Gramian combine (+ a
+# 5-plane layout transpose for the second layout) — ~30-40 HBM plane
+# traversals and ~7 dispatches per frame per level, against the 16
+# traversals the whole-level iteration kernel needs.  Here the frame is
+# read from HBM once and only the 5/10 expansion planes are written
+# back; every intermediate (blurred image, resized level image, basis
+# correlations) lives in VMEM, with in-register 2D transposes between
+# the separable passes (the farneback_level_pallas pattern).
+#
+# Numerics: the two blur passes and the whole poly section accumulate
+# taps in exactly ops.kernels._conv1d / _plan_outputs order, so they
+# are bit-identical to the XLA/Pallas path.  The pyramid resize is the
+# one reordered stage: cv2/jax bilinear halving at exact power-of-two
+# sizes reduces to a static two-tap 0.5/0.5 average per axis (src
+# position dec·i + (dec-1)/2 lands mid-pair for every dec = 2^k), which
+# this kernel applies x-axis-first where jax.image.resize applies
+# y-first — a pure f32 rounding-order difference, gated in
+# tests/test_pallas_farneback.py.  The fused path only engages when
+# the level size is an exact 2^k divisor of the frame (cv2's rounded
+# pyramid at pyr_scale=0.5 — every shipped shape qualifies); everything
+# else falls back to the unfused chain.
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(pad_ref, x, n, reflect: bool, ch: Optional[int] = None):
+    """Write x (N, M) into pad_ref rows [n, n+N) and fill the n border
+    rows per side: reflect-101 (cv2 GaussianBlur BORDER_DEFAULT) or
+    replicate (the sep-corr convention).  `ch` selects a channel of a
+    3D pad scratch."""
+    N, M = x.shape
+
+    def put(rows, val):
+        if ch is None:
+            pad_ref[rows, :] = val
+        else:
+            pad_ref[ch, rows, :] = val
+
+    put(slice(n, n + N), x)
+    if not n:
+        return
+    if reflect:
+        for i in range(1, n + 1):
+            put(slice(n - i, n - i + 1), x[i:i + 1, :])
+            put(slice(n + N - 1 + i, n + N + i), x[N - 1 - i:N - i, :])
+    else:
+        put(slice(0, n), jnp.broadcast_to(x[:1, :], (n, M)))
+        put(slice(n + N, n + N + n),
+            jnp.broadcast_to(x[N - 1:, :], (n, M)))
+
+
+def _corr_rows(pad_ref, taps, N, ch: Optional[int] = None):
+    """Sublane correlation over a padded scratch in ops.kernels._conv1d
+    tap order (bit-parity with the XLA path rides on this order)."""
+    acc = None
+    for i, w in enumerate(taps):
+        sl = pad_ref[i:i + N, :] if ch is None else pad_ref[ch, i:i + N, :]
+        t = float(w) * sl
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _decimate2(x, dec: int, out_n: int):
+    """Static power-of-two bilinear decimation along the sublane axis:
+    out[i] = 0.5·x[dec·i + dec/2 - 1] + 0.5·x[dec·i + dec/2] — exactly
+    jax.image.resize(method='linear', antialias=False) for an exact
+    dec× reduction (sample point dec·i + (dec-1)/2)."""
+    if dec == 1:
+        return x
+    a = dec // 2 - 1
+    y = x.reshape(out_n, dec, x.shape[1])
+    return 0.5 * y[:, a, :] + 0.5 * y[:, a + 1, :]
+
+
+def _poly_prologue_kernel(x_ref, *refs, blur, g, xg, xxg, igs,
+                          dec: int, lh: int, lw: int, emit: str):
+    """One frame's whole level prologue: (H, W) full-res frame →
+    the 5 poly-expansion planes in channels-first ((5, lh, lw)) and/or
+    transposed ((5, lw, lh)) layout, all intermediates VMEM-resident."""
+    outs, scratch = refs[:-4], refs[-4:]
+    bpad_ref, bpadT_ref, vpad_ref, hpadT_ref = scratch
+    H, W = x_ref.shape
+    nb = len(blur) // 2
+    npo = len(g) // 2
+
+    # cv2 pre-blur at FULL resolution (reflect-101), v then h pass —
+    # the h pass runs on the in-register transpose so both are sublane
+    # sweeps.
+    _pad_rows(bpad_ref, x_ref[:], nb, reflect=True)
+    vb = _corr_rows(bpad_ref, blur, H)                   # (H, W)
+    _pad_rows(bpadT_ref, vb.T, nb, reflect=True)
+    hbT = _corr_rows(bpadT_ref, blur, W)                 # (W, H)
+
+    # Pyramid resize: x-axis first (sublane in the transposed layout),
+    # then y-axis after transposing back.
+    IT = _decimate2(hbT, dec, lw)                        # (lw, H)
+    I = _decimate2(IT.T, dec, lh)                        # (lh, lw)
+
+    # Poly expansion: vertical basis pass (replicate borders) ...
+    _pad_rows(vpad_ref, I, npo, reflect=False)
+    vg = _corr_rows(vpad_ref, g, lh)
+    vx = _corr_rows(vpad_ref, xg, lh)
+    vxx = _corr_rows(vpad_ref, xxg, lh)
+    # ... horizontal pass on the in-register transposes ...
+    for c, arr in enumerate((vg, vx, vxx)):
+        _pad_rows(hpadT_ref, arr.T, npo, reflect=False, ch=c)
+    s1 = _corr_rows(hpadT_ref, g, lw, ch=0)
+    sx = _corr_rows(hpadT_ref, xg, lw, ch=0)
+    sxx = _corr_rows(hpadT_ref, xxg, lw, ch=0)
+    sy = _corr_rows(hpadT_ref, g, lw, ch=1)
+    sxy = _corr_rows(hpadT_ref, xg, lw, ch=1)
+    syy = _corr_rows(hpadT_ref, g, lw, ch=2)
+    # ... inverse-Gramian combine (identical f32 expressions to
+    # poly_expansion_pallas' XLA epilogue), in the transposed layout.
+    ig11, ig03, ig33, ig55 = igs
+    planes_T = (sx * ig11, sy * ig11,
+                s1 * ig03 + sxx * ig33,
+                s1 * ig03 + syy * ig33,
+                sxy * ig55)                              # each (lw, lh)
+    if emit == "cf_t":
+        for i, p in enumerate(planes_T):
+            outs[0][i] = p
+    elif emit == "cf":
+        for i, p in enumerate(planes_T):
+            outs[0][i] = p.T
+    else:                                                # cf_both
+        for i, p in enumerate(planes_T):
+            outs[0][i] = p.T
+            outs[1][i] = p
+
+
+def prologue_fits(h: int, w: int, lh: int, lw: int,
+                  blur_len: int, poly_n: int) -> bool:
+    """Gate for the fused per-level prologue: exact power-of-two level
+    geometry + a VMEM working-set model (planes exist in both layouts;
+    charge the larger padded area, same convention as
+    level_kernel_fits).  Working set: pipeline in block (1 full-res
+    plane) + out blocks (10 level planes), double-buffered; bpad scratch
+    ~2 full-res planes; ~6 full-res register intermediates (x, vb, two
+    transposes, hbT, IT); vpad + hpadT + ~18 level-size temporaries."""
+    if lh <= 0 or lw <= 0 or h % lh or w % lw:
+        return False
+    dec = h // lh
+    if w // lw != dec or dec & (dec - 1) or lh * dec != h or lw * dec != w:
+        return False
+    area_f = max((-(-h // 8) * 8) * (-(-w // 128) * 128),
+                 (-(-w // 8) * 8) * (-(-h // 128) * 128))
+    area_l = max((-(-lh // 8) * 8) * (-(-lw // 128) * 128),
+                 (-(-lw // 8) * 8) * (-(-lh // 128) * 128))
+    words = 10 * area_f + 42 * area_l
+    return words * 1.15 <= 80 * 1024 * 1024 // 4
+
+
+@functools.partial(jax.jit, static_argnames=("blur", "n", "sigma",
+                                              "out_hw", "layout"))
+def poly_prologue_pallas(frames: jax.Array, blur: Tuple[float, ...],
+                         n: int, sigma: float, out_hw: Tuple[int, int],
+                         layout: str = "cf_both"):
+    """(T, H, W) full-res frames → per-level poly expansion(s) at
+    `out_hw` = (lh, lw) with cv2's per-level pre-blur `blur` applied at
+    full resolution first (flow/farneback._smooth_and_resize semantics,
+    reference: SURVEY.md §2b #2/#7 — cv2 buildOpticalFlowPyramid +
+    FarnebackPolyExp).  layout: "cf" → (T, 5, lh, lw); "cf_t" →
+    (T, 5, lw, lh); "cf_both" → (cf, cf_t) tuple."""
+    from video_analytics_tpu.flow.farneback import _poly_exp_setup
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_setup(n, sigma)
+    g, xg, xxg = (tuple(map(float, a)) for a in (g, xg, xxg))
+    T, H, W = frames.shape
+    lh, lw = out_hw
+    dec = H // lh
+    nb = len(blur) // 2
+    npo = len(g) // 2
+    f32 = jnp.float32
+    out_cf = jax.ShapeDtypeStruct((T, 5, lh, lw), f32)
+    out_cft = jax.ShapeDtypeStruct((T, 5, lw, lh), f32)
+    spec_cf = pl.BlockSpec((None, 5, lh, lw), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_cft = pl.BlockSpec((None, 5, lw, lh), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if layout == "cf":
+        out_shape, out_specs = out_cf, spec_cf
+    elif layout == "cf_t":
+        out_shape, out_specs = out_cft, spec_cft
+    elif layout == "cf_both":
+        out_shape, out_specs = [out_cf, out_cft], [spec_cf, spec_cft]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    return pl.pallas_call(
+        functools.partial(_poly_prologue_kernel, blur=blur, g=g, xg=xg,
+                          xxg=xxg, igs=(ig11, ig03, ig33, ig55),
+                          dec=dec, lh=lh, lw=lw, emit=layout),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((None, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((H + 2 * nb, W), f32),
+                        pltpu.VMEM((W + 2 * nb, H), f32),
+                        pltpu.VMEM((lh + 2 * npo, lw), f32),
+                        pltpu.VMEM((3, lw + 2 * npo, lh), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(frames.astype(f32))
+
+
+# ---------------------------------------------------------------------------
 # Window average + 2x2 solve
 # ---------------------------------------------------------------------------
 
