@@ -146,11 +146,12 @@ def measure_tpu(frames, flow_algo="farneback"):
     outs = features(x)
     float(sum(o.sum() for o in outs))            # compile + warm
     float(sum(o.sum() for o in features(x.at[0, 0, 0, 0].add(1))))
-    # Deep dispatch groups amortise the per-execution enqueue RTT (the
-    # dev tunnel adds ~4-7ms/exec at reps=4; device time per call is
-    # ~29ms) — executions serialize on the single device stream, so the
-    # group wall time is an honest sustained-throughput measure.
-    reps = 8
+    # Deep dispatch groups amortise the tunnel's end-of-group fetch RTT
+    # (~29ms measured r5; at reps=8 that residue inflated per-call wall
+    # ~18%) — executions serialize on the single device stream, so the
+    # group wall time is an honest sustained-throughput measure, and
+    # deeper groups converge on the true sustained rate.
+    reps = 16
     # 3 passes (~0.25s each); wall figures ride the shared dev tunnel
     # (two passes have read 1930 vs 2153 on identical code).  The
     # caller reports the MEDIAN as primary with the spread + best
@@ -181,7 +182,7 @@ def measure_tvl1(frames):
     prev, nxt = gray[:-1], gray[1:]
     float(tvl1_jit(prev, nxt, cfg).sum())        # compile
     float(tvl1_jit(prev.at[0, 0, 0].add(1.0), nxt, cfg).sum())  # warm .at
-    reps = 5
+    reps = 10          # deep group: the ~29ms fetch RTT amortizes
     passes = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -276,8 +277,9 @@ def measure_sustained_1080p():
     # Deep dispatch group (same rationale as measure_tpu): cycle the
     # staged batches with a per-rep device-side perturbation so
     # identical re-dispatches can't alias, and amortise the tunnel's
-    # per-execution enqueue RTT over 8 executions per timed pass.
-    reps = 4
+    # end-of-group fetch RTT (~29ms, r5) over 16 executions per timed
+    # pass.
+    reps = 8
 
     def timed_pass(i0):
         # Warm dispatch before EVERY timed pass, not just the first
@@ -454,6 +456,39 @@ def measure_cpu_clips_per_sec(n_clips: int = 3, n_passes: int = 5):
     return n_clips / float(np.median(times))
 
 
+def measure_transport():
+    """Health probe of the host↔device transport, recorded alongside
+    the throughput legs so a run is self-describing: the dev tunnel's
+    transfer rate has measured anywhere from ~20 to ~70 MB/s across
+    sessions and the transfer-bound legs (clips/sec, sustained-ingest)
+    scale with it directly (STATUS: clips/sec pipeline breakdown).
+    Returns (transfer_MB/s, dispatch+fetch RTT ms).  Timing follows the
+    axon discipline: end every region in a host VALUE fetch, distinct
+    content per dispatch (block_until_ready returns on enqueue-ACK)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 255, (16 * 2**20,), dtype=np.uint8)
+    force = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
+    int(force(jax.device_put(x)))               # compile + first ship
+    rates = []
+    for i in range(3):
+        x[i] ^= 1                               # distinct content
+        t0 = time.perf_counter()
+        int(force(jax.device_put(x)))
+        rates.append(x.nbytes / 2**20 / (time.perf_counter() - t0))
+    tiny = jax.jit(lambda a: a * 2.0)
+    float(tiny(jnp.float32(0.5)))               # compile
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(1.0 + i)))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    return (round(float(np.median(rates)), 1),
+            round(float(np.median(rtts)), 1))
+
+
 def _history_median(key: str, band, current=None, last: int = 5):
     """Rolling median of the last `last` in-band readings of `key`
     from the bench history (including `current` when in-band) — the
@@ -503,6 +538,11 @@ def main():
             errors[name + "_error"] = repr(e)[:500]
             return None
 
+    # Transport health first: a tiny probe whose numbers let a reader
+    # normalise this run's transfer-bound legs against the tunnel's
+    # condition that day (~20-70 MB/s across sessions).
+    tr = leg("transport", measure_transport)
+    transport_mbps, dispatch_rtt_ms = tr if tr else (None, None)
     # Sustained + native-1080p run FIRST: the other measurements leave
     # live device buffers/executables that measurably degrade the
     # large-shape pipelines afterwards (HBM fragmentation through the
@@ -579,6 +619,8 @@ def main():
         "sustained_1080p_retimed": sus[2] if sus else None,
         "sustained_1080p_with_tunnel_ingest_fps": sustained_ingest,
         "sustained_1080p_ingest_spread": sustained_ingest_spread,
+        "transport_mbps": transport_mbps,
+        "dispatch_rtt_ms": dispatch_rtt_ms,
         "degraded": bool(errors),
     }
     result.update(errors)
