@@ -377,13 +377,74 @@ def test_packed_in_driver(rng):
     cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
                      inner_iterations=6, median_filtering=5)
     assert ts.pack_choice(48, 56, 4, 5) > 1
+    # scale_fused=False in BOTH arms: this test pins the per-warp
+    # chain's lane packing; the whole-scale kernel has its own tests.
     packed = np.asarray(tvl1(jnp.asarray(f1), jnp.asarray(f2), cfg,
-                             use_pallas=True))
+                             use_pallas=True, scale_fused=False))
     orig = ts.pack_choice
     ts.pack_choice = lambda *a, **k: 1
     try:
         single = np.asarray(tvl1(jnp.asarray(f1), jnp.asarray(f2), cfg,
-                                 use_pallas=True))
+                                 use_pallas=True, scale_fused=False))
     finally:
         ts.pack_choice = orig
     np.testing.assert_allclose(packed, single, atol=1e-4, rtol=0)
+
+
+@pytest.mark.parametrize("batch", [2, 3])
+def test_scale_fused_matches_perwarp_chain(rng, batch):
+    """Full tvl1() with the whole-scale fused kernel
+    (tvl1_solve.tvl1_scale_pallas, r5b: warp + grad/rho prep + all
+    primal-dual rounds + scale-end median in ONE pallas_call per scale)
+    vs the shipped per-warp chain — the same f32 op chain up to FMA
+    contraction in the grad/rho prep (in-kernel in the fused path,
+    XLA-fused in the chain), which compounds through the scale loop to
+    ~2e-5; bit-identical on the real TPU (STATUS A/B).  batch=2
+    exercises the lane-packed arm (n_scale=2), batch=3 the unpacked
+    arm (n_scale=1)."""
+    import video_analytics_tpu.ops.pallas.tvl1_solve as ts
+
+    pairs = [smooth_pair(rng, 96, 120, dx=1.2 + 0.3 * i, dy=-0.7)
+             for i in range(batch)]
+    f1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    f2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    cfg = TVL1Config(nscales=3, warps=3, outer_iterations=4,
+                     inner_iterations=2, median_filtering=3)
+    expected_pack = 2 if batch % 2 == 0 else 1
+    assert ts.scale_pack_choice(96, 120, batch, 3, 32) == expected_pack
+    fused = np.asarray(tvl1(f1, f2, cfg, use_pallas=True,
+                            scale_fused=True))
+    chain = np.asarray(tvl1(f1, f2, cfg, use_pallas=True,
+                            scale_fused=False))
+    np.testing.assert_allclose(fused, chain, atol=1e-4, rtol=0)
+
+
+def test_scale_fused_gate_raises(rng):
+    """scale_fused=True must fail loudly when the whole-scale kernel's
+    VMEM gate rejects a level instead of silently falling back."""
+    import video_analytics_tpu.ops.pallas.tvl1_solve as ts
+
+    f1, f2 = smooth_pair(rng, 48, 64, dx=1.0, dy=0.5)
+    cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                     inner_iterations=4, median_filtering=3)
+    orig = ts.scale_pack_choice
+    ts.scale_pack_choice = lambda *a, **k: 0
+    try:
+        with pytest.raises(ValueError, match="whole-scale"):
+            tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]), cfg,
+                 use_pallas=True, scale_fused=True)
+    finally:
+        ts.scale_pack_choice = orig
+
+
+def test_scale_fused_no_median(rng):
+    """median_filtering=0 skips the in-kernel scale-end median on both
+    paths; the fused kernel must honour it (final_median branch)."""
+    f1, f2 = smooth_pair(rng, 64, 80, dx=0.8, dy=0.4)
+    cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                     inner_iterations=4, median_filtering=0)
+    fused = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
+                            cfg, use_pallas=True, scale_fused=True))
+    chain = np.asarray(tvl1(jnp.asarray(f1[None]), jnp.asarray(f2[None]),
+                            cfg, use_pallas=True, scale_fused=False))
+    np.testing.assert_allclose(fused, chain, atol=1e-5, rtol=0)

@@ -199,7 +199,8 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
          cfg: TVL1Config = TVL1Config(),
          initial_flow: Optional[jax.Array] = None,
          use_pallas: Optional[bool] = None,
-         exact_warp: bool = False) -> jax.Array:
+         exact_warp: bool = False,
+         scale_fused: Optional[bool] = None) -> jax.Array:
     """Dense TV-L1 flow for a batch of gray frame pairs.
 
     Args:
@@ -211,6 +212,10 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
       exact_warp: force the exact XLA gather warp while leaving the
         solver path governed by `use_pallas` (isolates the bit-exact
         Pallas solvers from the separable-warp approximation).
+      scale_fused: None → auto (the whole-scale fused kernel,
+        ops/pallas/tvl1_solve.tvl1_scale_pallas, wherever its VMEM gate
+        passes); False forces the per-warp chain (the A/B escape
+        hatch); True asserts the gate passes at every scale.
 
     Returns:
       (B, H, W, 2) float32 flow (dx, dy): prev(p) ≈ next(p + flow(p)).
@@ -251,9 +256,9 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
         # kernel (HBM once per `chunk` iterations instead of per
         # iteration); otherwise the XLA while-loop reference.
         from video_analytics_tpu.ops.pallas.tvl1_solve import (
-            banded_params, pack_choice, solver_fits_vmem,
-            tvl1_solve_warp, tvl1_solve_warp_packed,
-            tvl1_solve_warp_banded)
+            banded_params, pack_choice, scale_pack_choice,
+            solver_fits_vmem, tvl1_scale_pallas, tvl1_solve_warp,
+            tvl1_solve_warp_packed, tvl1_solve_warp_banded)
         from video_analytics_tpu.utils.platform import on_tpu
         pallas_ok = use_pallas if use_pallas is not None else on_tpu()
         fused = pallas_ok and solver_fits_vmem(lh, lw,
@@ -263,6 +268,35 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
             banded = banded_params(lh, lw, cfg)
         from video_analytics_tpu.flow.farneback import _level_band
         band = _level_band(cfg.scale_step ** s)
+        # Whole-scale fused kernel (r5b): every warp round + the
+        # scale-end median in ONE pallas_call, HBM touched once per
+        # scale (tvl1_solve.tvl1_scale_pallas).  Gated by its VMEM
+        # model; scale_fused=False is the per-warp-chain A/B hatch.
+        n_scale = 0
+        if (pallas_ok and fused and not exact_warp
+                and scale_fused is not False):
+            n_scale = scale_pack_choice(lh, lw, B,
+                                        cfg.median_filtering, band)
+        if scale_fused and not n_scale:
+            raise ValueError(
+                f"scale_fused=True but the whole-scale kernel does not "
+                f"fit VMEM at level {(lh, lw)} (batch {B})")
+        if n_scale:
+            if n_scale > 1:
+                I0p, u, v = (_pack_lanes(x, n_scale)
+                             for x in (I0, u, v))
+                I13 = jnp.stack(
+                    [_pack_lanes(x, n_scale) for x in (I1, I1x, I1y)],
+                    axis=1)
+            else:
+                I0p = I0
+                I13 = jnp.stack([I1, I1x, I1y], axis=1)
+            u, v = tvl1_scale_pallas(I0p, I13, u, v, cfg,
+                                     n_img=n_scale, w_img=lw, r=band)
+            if n_scale > 1:
+                u = _unpack_lanes(u, n_scale)
+                v = _unpack_lanes(v, n_scale)
+            continue
         # Lane packing (r5): the whole-plane solver runs at the VPU
         # floor per PADDED lane, so n side-by-side images amortise the
         # 128-lane tile padding (see tvl1_solve.py).  Exact per image;

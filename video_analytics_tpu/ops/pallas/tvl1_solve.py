@@ -22,6 +22,14 @@ Contents per (batch) grid step, all VMEM:
 Semantics match flow/tvl1.py's XLA reference solver (same update
 order, same outer-boundary early exit); tests compare the two in
 interpret mode on small configs.
+
+Three granularities ship, picked per (level, batch) by VMEM gates:
+per-warp whole-plane (`tvl1_solve_warp[_packed]`), row-banded chunked
+for planes past VMEM (`tvl1_solve_warp_banded`, 1080p), and — r5c,
+the widest — the whole-SCALE kernel (`tvl1_scale_pallas`): every warp
+round's banded warp + grad/ρ prep + primal-dual solve plus the
+scale-end median in ONE pallas_call, HBM touched once per scale (see
+the section comment above `_scale_kernel_packed`).
 """
 
 from __future__ import annotations
@@ -279,22 +287,21 @@ def _median2d_xi(x, xi, w_img: int, k: int):
     return _median_network(planes)
 
 
-def _solver_kernel_packed(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
-                          uin_ref, vin_ref, uout_ref, vout_ref,
-                          *, cfg: TVL1Config, n_img: int, w_img: int):
-    """_solver_kernel on an (H, n_img·w_img) lane-packed block with
-    per-image borders, medians and ε gates (see module comment)."""
-    H, W = uin_ref.shape
+def _pd_solve_packed(I1wx, I1wy, grad, rho_c, uin, vin,
+                     *, cfg: TVL1Config, n_img: int, w_img: int):
+    """All primal-dual iterations of one warp on an (H, n_img·w_img)
+    lane-packed VALUE block with per-image borders, medians and ε gates
+    (see module comment) — the body of _solver_kernel_packed, factored
+    out so the whole-scale fused kernel (r5b, _scale_kernel_packed)
+    can run the identical solver on its in-kernel-warped planes.
+    Returns the updated (u, v)."""
+    H, W = uin.shape
     f32 = jnp.float32
     l_t = cfg.lambda_ * cfg.theta
     taut = cfg.tau / cfg.theta
     eps2 = cfg.epsilon * cfg.epsilon
     n_px = H * w_img
 
-    I1wx = I1wx_ref[:]
-    I1wy = I1wy_ref[:]
-    grad = grad_ref[:]
-    rho_c = rho_c_ref[:]
     th = l_t * grad
     inv_grad = 1.0 / jnp.maximum(grad, 1e-10)
 
@@ -387,12 +394,21 @@ def _solver_kernel_packed(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
         return jax.lax.cond(all_conv, lambda st: st, run, state)
 
     zeros = jnp.zeros((H, W), f32)
-    init = (uin_ref[:], vin_ref[:], zeros, zeros, zeros, zeros,
+    init = (uin, vin, zeros, zeros, zeros, zeros,
             tuple(jnp.asarray(jnp.inf, f32) for _ in range(n_img)))
     u, v, *_rest, errs = jax.lax.fori_loop(
         0, cfg.outer_iterations, outer_step, init)
-    uout_ref[:] = u
-    vout_ref[:] = v
+    return u, v
+
+
+def _solver_kernel_packed(I1wx_ref, I1wy_ref, grad_ref, rho_c_ref,
+                          uin_ref, vin_ref, uout_ref, vout_ref,
+                          *, cfg: TVL1Config, n_img: int, w_img: int):
+    """_solver_kernel on an (H, n_img·w_img) lane-packed block with
+    per-image borders, medians and ε gates (see module comment)."""
+    uout_ref[:], vout_ref[:] = _pd_solve_packed(
+        I1wx_ref[:], I1wy_ref[:], grad_ref[:], rho_c_ref[:],
+        uin_ref[:], vin_ref[:], cfg=cfg, n_img=n_img, w_img=w_img)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_img", "w_img"))
@@ -450,6 +466,195 @@ def pack_choice(h: int, w: int, batch: int, median: int) -> int:
                 and packed_solver_fits(h, w, n, median)):
             return n
     return 1
+
+
+# ---------------------------------------------------------------------------
+# Whole-SCALE fused kernel (r5b): warp + ρ/grad prep + every warp's
+# primal-dual iterations + the scale-end median in ONE pallas_call per
+# pyramid scale — the farneback_kernels._level_kernel treatment for the
+# DEFAULT flow algorithm.
+#
+# After lane packing, the 224² driver still pays per scale `warps`
+# rounds of [two banded-warp passes + two XLA plane transposes + an XLA
+# grad/ρ prep] around each solver dispatch — 0.74 ms/pair of non-solver
+# wall at 224² (STATUS "TV-L1 224² floor analysis"), dominated by the
+# inter-stage HBM round trips and the XLA transposes (~93 GB/s
+# measured).  This kernel keeps one whole scale VMEM-resident:
+# I1/I1x/I1y are replicate-padded into a persistent scratch ONCE; each
+# warp iteration then runs pallas_warp_cf's exact offset/lerp chain
+# in-kernel (row pass in H-layout, in-register tile transpose, column
+# pass in W-layout with per-image packed coordinates, transpose back),
+# forms grad/ρ_c, and runs the identical packed primal-dual solver body
+# (_pd_solve_packed); the scale-end median runs per image before the
+# final store.  HBM is touched once in and once out per SCALE, and the
+# warp↔solver transposes ride VREG shuffles instead of HBM.
+#
+# Semantics: the same f32 op chain as [pallas_warp_cf → XLA grad/ρ prep
+# → tvl1_solve_warp_packed → median_filter2d]; the only tolerated
+# difference is FMA contraction in the grad/ρ expressions (XLA fuses
+# them differently than Mosaic) — gated by tests/test_tvl1.py's
+# scale-kernel equivalence tests.
+# ---------------------------------------------------------------------------
+
+
+def _scale_kernel_packed(I0_ref, I13_ref, uin_ref, vin_ref,
+                         uout_ref, vout_ref, wpad_ref, wpadT_ref,
+                         *, cfg: TVL1Config, n_img: int, w_img: int,
+                         r: int, final_median: bool):
+    """One batch block's whole pyramid scale: (H, Wp) packed I0 +
+    (3, H, Wp) packed [I1, I1x, I1y] + packed initial (u, v) →
+    packed (u, v) after cfg.warps fused warp+solve rounds."""
+    from video_analytics_tpu.ops.pallas.warp import _select_lerp
+
+    C, H, W = I13_ref.shape
+    f32 = jnp.float32
+    hh = r + 8
+    wi = w_img
+
+    # I1 and its gradients are constant across warps: replicate-pad the
+    # row-pass source once.
+    x = I13_ref[:]
+    wpad_ref[:, hh:hh + H, :] = x
+    wpad_ref[:, :hh, :] = jnp.broadcast_to(x[:, :1, :], (C, hh, W))
+    wpad_ref[:, hh + H:, :] = jnp.broadcast_to(x[:, H - 1:, :],
+                                               (C, hh, W))
+    I0 = I0_ref[:]
+
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(f32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    xi = cols
+    for kimg in range(1, n_img):
+        xi = jnp.where(cols >= kimg * wi, cols - kimg * wi, xi)
+    # Transposed-layout per-image column coordinate (sublane = packed
+    # column) for the column-pass warp.
+    colsT = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    xiT = colsT
+    for kimg in range(1, n_img):
+        xiT = jnp.where(colsT >= kimg * wi, colsT - kimg * wi, xiT)
+    xiT_f = xiT.astype(f32)
+
+    def warp_body(_, carry):
+        u, v = carry
+        # Row pass: pallas_warp_cf's exact vertical chain (_v_offsets).
+        ys = jnp.clip(rows_f + v, 0.0, H - 1.0)
+        y0 = jnp.clip(jnp.floor(ys), 0.0, H - 2.0)
+        fy = ys - y0
+        offy = jnp.clip(y0 - rows_f, -r, r).astype(jnp.int32)
+        mid = _select_lerp(
+            lambda base: wpad_ref[:, base:base + H + 8, :],
+            offy, fy, (C, H, W), r, hh)
+        # To W-layout in registers; replicate-pad at the PACKED block's
+        # column edges (interior images never select into the pad: the
+        # per-image clamps keep every offset inside its own image).
+        for c in range(C):
+            t = mid[c].T
+            wpadT_ref[c, hh:hh + W, :] = t
+            wpadT_ref[c, :hh, :] = jnp.broadcast_to(t[:1], (hh, H))
+            wpadT_ref[c, hh + W:, :] = jnp.broadcast_to(t[W - 1:],
+                                                        (hh, H))
+        # Column pass: pallas_warp_cf's exact horizontal chain, in
+        # transposed coordinates (elementwise, so layout-commutative).
+        uT = u.T
+        xs = jnp.clip(xiT_f + uT, 0.0, wi - 1.0)
+        x0 = jnp.clip(jnp.floor(xs), 0.0, wi - 2.0)
+        fx = xs - x0
+        offx = jnp.clip(x0 - xiT_f, -r, r).astype(jnp.int32)
+        wT = _select_lerp(
+            lambda base: wpadT_ref[:, base:base + W + 8, :],
+            offx, fx, (C, W, H), r, hh)
+        I1w = wT[0].T
+        I1wx = wT[1].T
+        I1wy = wT[2].T
+        grad = I1wx * I1wx + I1wy * I1wy
+        rho_c = I1w - I1wx * u - I1wy * v - I0
+        return _pd_solve_packed(I1wx, I1wy, grad, rho_c, u, v,
+                                cfg=cfg, n_img=n_img, w_img=wi)
+
+    u, v = jax.lax.fori_loop(0, cfg.warps, warp_body,
+                             (uin_ref[:], vin_ref[:]))
+    if final_median and cfg.median_filtering > 1:
+        u = _median2d_xi(u, xi, wi, cfg.median_filtering)
+        v = _median2d_xi(v, xi, wi, cfg.median_filtering)
+    uout_ref[:] = u
+    vout_ref[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_img", "w_img",
+                                             "r", "final_median"))
+def tvl1_scale_pallas(I0: jax.Array, I13: jax.Array, u: jax.Array,
+                      v: jax.Array, cfg: TVL1Config, n_img: int,
+                      w_img: int, r: int,
+                      final_median: bool = True
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """One whole TV-L1 pyramid scale — all cfg.warps rounds of
+    [banded warp + grad/ρ prep + primal-dual solve] plus the scale-end
+    median — as ONE Pallas kernel on lane-packed planes.
+
+    Args: I0 (B, H, n_img·w_img) packed reference frame; I13
+    (B, 3, H, n_img·w_img) packed [I1, I1x, I1y]; u, v packed initial
+    flow; r the scale's displacement band (flow.farneback._level_band).
+    Returns the packed (u, v) after the whole scale.
+    """
+    B, H, W = u.shape
+    assert W == n_img * w_img
+    r = max(1, min(r, H - 2, w_img - 2))
+    hh = r + 8
+    f32 = jnp.float32
+    spec = pl.BlockSpec((None, H, W), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((None, 3, H, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    u2, v2 = pl.pallas_call(
+        functools.partial(_scale_kernel_packed, cfg=cfg, n_img=n_img,
+                          w_img=w_img, r=r, final_median=final_median),
+        grid=(B,),
+        in_specs=[spec, spec3, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W), f32)] * 2,
+        scratch_shapes=[pltpu.VMEM((3, H + 2 * hh, W), f32),
+                        pltpu.VMEM((3, W + 2 * hh, H), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PACKED_SCOPED_BYTES),
+        interpret=pallas_interpret(),
+    )(I0.astype(f32), I13.astype(f32), u.astype(f32), v.astype(f32))
+    return u2, v2
+
+
+def scale_kernel_fits(h: int, w_img: int, n_img: int, median: int,
+                      r: int) -> bool:
+    """VMEM model for the whole-scale kernel.  Planes are charged per
+    layout (H-layout: sublane=image row; T-layout: sublane=packed
+    column), each at its padded tile area:
+    H-layout — pipeline blocks (6 in + 2 out, double-buffered ≈ 16),
+    wpad 3, mid + back-transposed warps 6, solver peak (median 25 +
+    consts 6 + state/duals 6 + temps ~8) 45, masks/iota ~5 → 75;
+    T-layout — wpadT 3, nine select T planes + accumulators 33,
+    offset/frac planes ~5, warped 3 → 44; plus the pad scratches' halo
+    rows.  Conservative: warp-phase and solver-phase planes are summed
+    even though their live ranges barely overlap (the r3 grid>1
+    double-buffering lesson says over-, not under-charge)."""
+    r = max(1, min(r, h - 2, w_img - 2))
+    hh = r + 8
+    w = n_img * w_img
+    area_h = (-(-h // 8) * 8) * (-(-w // 128) * 128)
+    area_t = (-(-w // 8) * 8) * (-(-h // 128) * 128)
+    words = 75 * area_h + 44 * area_t \
+        + 6 * hh * (-(-w // 128) * 128) + 6 * hh * (-(-h // 128) * 128)
+    return words * 1.15 <= _PACKED_SCOPED_BYTES // 4 * 0.8
+
+
+def scale_pack_choice(h: int, w: int, batch: int, median: int,
+                      r: int) -> int:
+    """Largest n_img in (4, 2, 1) that divides the batch, does not
+    increase padded lanes per image, and fits the whole-scale kernel's
+    VMEM model — 0 when none fits (caller falls back to the per-warp
+    chain)."""
+    pad = lambda n: -(-(n * w) // 128) * 128
+    for n in (4, 2, 1):
+        if (batch % n == 0 and pad(n) * 1.0 / n <= pad(1)
+                and scale_kernel_fits(h, w, n, median, r)):
+            return n
+    return 0
 
 # ---------------------------------------------------------------------------
 # Row-banded solver for shapes beyond the whole-plane kernel's VMEM
