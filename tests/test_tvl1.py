@@ -391,7 +391,7 @@ def test_packed_in_driver(rng):
     np.testing.assert_allclose(packed, single, atol=1e-4, rtol=0)
 
 
-@pytest.mark.parametrize("batch", [2, 3])
+@pytest.mark.parametrize("batch", [2, 1])
 def test_scale_fused_matches_perwarp_chain(rng, batch):
     """Full tvl1() with the whole-scale fused kernel
     (tvl1_solve.tvl1_scale_pallas, r5b: warp + grad/rho prep + all
@@ -400,8 +400,8 @@ def test_scale_fused_matches_perwarp_chain(rng, batch):
     contraction in the grad/rho prep (in-kernel in the fused path,
     XLA-fused in the chain), which compounds through the scale loop to
     ~2e-5; bit-identical on the real TPU (STATUS A/B).  batch=2
-    exercises the lane-packed arm (n_scale=2), batch=3 the unpacked
-    arm (n_scale=1)."""
+    exercises the lane-packed arm (n_scale=2), batch=1 the unpacked
+    arm (n_scale=1; 1 is also below the batch-rounding threshold)."""
     import video_analytics_tpu.ops.pallas.tvl1_solve as ts
 
     pairs = [smooth_pair(rng, 96, 120, dx=1.2 + 0.3 * i, dy=-0.7)
@@ -417,6 +417,26 @@ def test_scale_fused_matches_perwarp_chain(rng, batch):
     chain = np.asarray(tvl1(f1, f2, cfg, use_pallas=True,
                             scale_fused=False))
     np.testing.assert_allclose(fused, chain, atol=1e-4, rtol=0)
+
+
+def test_batch_rounding_exact(rng):
+    """Batch rounding (r5c: odd Pallas batches are padded with dummy
+    dup pairs to a multiple of 4 so the lane-packed kernels can
+    engage, then sliced back) must be exact for the real pairs: B=3
+    auto-pads to 4 and packs n=4 — compare per image against the
+    unpadded B=1 path (n=1, below the rounding threshold)."""
+    pairs = [smooth_pair(rng, 64, 80, dx=0.8 + 0.3 * i, dy=0.4 - 0.2 * i)
+             for i in range(3)]
+    f1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    f2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    cfg = TVL1Config(nscales=2, warps=2, outer_iterations=3,
+                     inner_iterations=4, median_filtering=3)
+    batched = np.asarray(tvl1(f1, f2, cfg, use_pallas=True))
+    for i in range(3):
+        single = np.asarray(tvl1(f1[i:i + 1], f2[i:i + 1], cfg,
+                                 use_pallas=True))[0]
+        np.testing.assert_allclose(batched[i], single, atol=1e-4,
+                                   rtol=0)
 
 
 def test_scale_fused_gate_raises(rng):

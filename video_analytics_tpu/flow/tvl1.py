@@ -223,6 +223,28 @@ def tvl1(prev: jax.Array, nxt: jax.Array,
     I0_full = prev.astype(jnp.float32)
     I1_full = nxt.astype(jnp.float32)
     B, H, W = I0_full.shape
+
+    # Batch rounding for lane packing (r5c): the packed kernels need
+    # n | batch, so an odd batch (the pipeline's T-1 = 63 pairs) used
+    # to forfeit packing entirely and pay the full 128-lane tile pad
+    # per image at every scale (~1.4x the packed solver lanes at 224²).
+    # Round the batch up to a multiple of 4 with dummy dup pairs and
+    # slice the result back — exact for the real pairs (packing is
+    # per-image exact), and the dummy work is bounded to ≤15%.
+    from video_analytics_tpu.utils.platform import on_tpu
+    if use_pallas if use_pallas is not None else on_tpu():
+        Bp = -(-B // 4) * 4
+        if B % 4 and B > 1 and (Bp - B) <= max(1, B * 0.15):
+            def _pad(x):
+                dup = jnp.broadcast_to(x[-1:], (Bp - B,) + x.shape[1:])
+                return jnp.concatenate([x, dup], axis=0)
+            out = tvl1(_pad(I0_full), _pad(I1_full), cfg,
+                       initial_flow=None if initial_flow is None else
+                       _pad(initial_flow.astype(jnp.float32)),
+                       use_pallas=use_pallas, exact_warp=exact_warp,
+                       scale_fused=scale_fused)
+            return out[:B]
+
     sizes = _level_sizes(H, W, cfg)
 
     # Build pyramids finest→coarsest, each level from the previous one.
