@@ -18,7 +18,7 @@ Peaks used (public v5e-1 numbers; VPU is an estimate):
   MXU bf16  197 TFLOP/s      HBM  819 GB/s
   VPU f32   ~2 TFLOP/s  (8x128 lanes x ~940MHz x 2 FLOP/lane, est.)
 
-Run ALONE on the TPU: `python tools/roofline.py [--skip-1080p]`
+Run ALONE on the TPU: `python tools/roofline.py [--skip-1080p] [--reps N]`
 Prints one JSON line + a markdown table for STATUS.md.
 """
 
@@ -92,7 +92,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-1080p", action="store_true",
                     help="skip the ~6min fresh TV-L1 1080p compile")
+    ap.add_argument("--reps", type=int, default=8,
+                    help="dispatches per timed group for the cheap "
+                    "(ms-scale) programs; the ~25ms tunnel fetch RTT "
+                    "rides once per GROUP, so residue/call ~ RTT/reps "
+                    "(slow programs use reps/2, 1080p stays at 2)")
     args = ap.parse_args()
+    R = max(2, args.reps)
 
     import jax
     import jax.numpy as jnp
@@ -131,7 +137,8 @@ def main():
         r_feats = model.spatial.apply(variables["spatial"], rgb,
                                       return_features=True)
         return f_feats, r_feats
-    rows.append(measure("headline_64f", features, (frames,), pert_first))
+    rows.append(measure("headline_64f", features, (frames,),
+                        pert_first, reps=R))
 
     # 2. Stage split (compiled separately; co-fusion across stage
     # boundaries is lost, so the parts can sum slightly above the
@@ -145,12 +152,12 @@ def main():
         return (pp.normalize(x, cfg.preprocess.mean, cfg.preprocess.std)
                 .astype(jnp.bfloat16), pp.rgb_to_gray(x))
     rows.append(measure("preproc_resize_crop", preproc, (frames,),
-                        pert_first))
+                        pert_first, reps=R))
 
     def flow_seq(g):
         return compute_flow_sequence(g, cfg, bounded=True)
     rows.append(measure("farneback_seq_64p", flow_seq, (gray,),
-                        pert_first))
+                        pert_first, reps=R))
 
     flow = jax.block_until_ready(flow_seq(gray))
 
@@ -160,7 +167,7 @@ def main():
         return model.temporal.apply(variables["temporal"], stacks,
                                     return_features=True)
     rows.append(measure("flow_cnn_55x224", flow_stack_cnn, (flow,),
-                        pert_first))
+                        pert_first, reps=R))
 
     rgb_in = jax.block_until_ready(
         pp.normalize(x224, cfg.preprocess.mean, cfg.preprocess.std))
@@ -169,7 +176,7 @@ def main():
         return model.spatial.apply(variables["spatial"], x,
                                    return_features=True)
     rows.append(measure("rgb_cnn_65x224", rgb_cnn, (rgb_in,),
-                        pert_first))
+                        pert_first, reps=R))
 
     # 3. TV-L1 224² (the shipped default flow).
     tcfg = TVL1Config()
@@ -178,7 +185,7 @@ def main():
     def tvl1_224(a, b):
         return tvl1_jit(a, b, tcfg)
     rows.append(measure("tvl1_64p_224", tvl1_224, (prev, nxt),
-                        pert_first, reps=4))
+                        pert_first, reps=max(2, R // 2)))
 
     # 3b. The batched-eval executable (the clips/sec device program —
     # VERDICT r4 task 3: the one metric exercising the whole system had
@@ -205,7 +212,7 @@ def main():
         return c
 
     rows.append(measure("eval_batch_8clips", eval_batch, (arr_d,),
-                        pert_first))
+                        pert_first, reps=R))
 
     # 4. Sustained-1080p classify (transport-cropped shape).
     import dataclasses
@@ -223,7 +230,7 @@ def main():
     def sustained(wb):
         return classify_batch(wb, variables, model, cfg_t)
     rows.append(measure("sustained_1080p_b4x16", sustained, (sj,),
-                        pert_first, reps=4))
+                        pert_first, reps=max(2, R // 2)))
 
     # 5. Native-1080p TV-L1 (the banded Pallas solver), B=4.
     if not args.skip_1080p:
